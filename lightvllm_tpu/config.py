@@ -1,0 +1,67 @@
+"""Engine configuration.
+
+Parity: reference `lightvllm/config.py:7-55` (Config dataclass with engine
+knobs + HF config merge). TPU-first additions: quantization modes, KV-cache
+dtype, mesh shape (tensor/data parallel axes), decode-batch bucketing, and
+explicit HBM budget handling instead of CUDA memory probing.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Config:
+    model: str = ""
+    max_num_batched_tokens: int = 4096
+    max_num_seqs: int = 256
+    max_model_len: int = 4096
+    hbm_memory_utilization: float = 0.9
+    kvcache_block_size: int = 64
+    num_kvcache_blocks: int = -1  # -1 = size from free HBM after weight load
+    eos: int = -1
+    # --- quantization ---
+    quantization: str | None = None  # None | "int8" | "int4"
+    quant_group_size: int = 128  # group size along in_features for int4
+    kv_cache_dtype: str = "auto"  # "auto" (= model dtype) | "fp8"
+    # --- parallelism ---
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+    # --- compilation ---
+    enforce_eager: bool = False  # True disables jit (debugging only)
+    decode_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
+    prefill_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
+    # --- model config (filled from HF config) ---
+    hf_config: Any = None
+    dtype: str = "bfloat16"
+
+    def __post_init__(self):
+        assert 1 <= self.kvcache_block_size
+        assert self.kvcache_block_size % 16 == 0, (
+            "TPU KV pages must be a multiple of 16 tokens (bf16 sublane tile)"
+        )
+        assert self.tensor_parallel_size >= 1
+        assert self.data_parallel_size >= 1
+        assert self.quantization in (None, "int8", "int4")
+        assert self.kv_cache_dtype in ("auto", "fp8")
+        if self.model:
+            if self.hf_config is None:
+                from transformers import AutoConfig
+
+                self.hf_config = AutoConfig.from_pretrained(self.model)
+            max_pos = getattr(self.hf_config, "max_position_embeddings", self.max_model_len)
+            self.max_model_len = min(self.max_model_len, max_pos)
+        # Reference asserts max_num_batched_tokens >= max_model_len
+        # (config.py:55) so a single max-length prompt can always prefill.
+        self.max_num_batched_tokens = max(self.max_num_batched_tokens, self.max_model_len)
+
+    @property
+    def max_blocks_per_seq(self) -> int:
+        return (self.max_model_len + self.kvcache_block_size - 1) // self.kvcache_block_size
+
+    @property
+    def model_path(self) -> str:
+        return os.path.expanduser(self.model)

@@ -1,0 +1,173 @@
+"""Paged-KV physical block allocator with hash-chained prefix caching.
+
+Parity: reference `lightvllm/engine/block_manager.py:9-214` (Block with
+ref-counting, BlockManager.allocate/deallocate with chained xxhash64 prefix
+dedup, may_append hash registration on block fill). Deliberate fixes over the
+reference (SURVEY.md §2.9):
+  - quirk 2: `can_append` uses the same `len % block_size == 1` test as
+    `may_append` (the token being generated this step writes the KV slot for
+    position len-1, so a new block is needed iff (len-1) % bs == 0).
+  - fully-cached-prompt edge: if every prompt block prefix-hits, the last
+    block is treated as uncached so prefill always has >= 1 query token.
+  - hashing uses hashlib.blake2b (xxhash is not a baked-in dependency);
+    chained exactly like the reference: h_i = H(h_{i-1} || tokens_i).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import deque
+
+from lightvllm_tpu.engine.sequence import Sequence
+
+
+def compute_block_hash(token_ids: list[int], prefix: int = -1) -> int:
+    h = hashlib.blake2b(digest_size=8)
+    if prefix != -1:
+        h.update(prefix.to_bytes(8, "little", signed=False))
+    for t in token_ids:
+        h.update(int(t).to_bytes(8, "little", signed=True))
+    return int.from_bytes(h.digest(), "little")
+
+
+class Block:
+    __slots__ = ("block_id", "ref_count", "hash", "token_ids")
+
+    def __init__(self, block_id: int):
+        self.block_id = block_id
+        self.ref_count = 0
+        self.hash = -1
+        self.token_ids: list[int] = []
+
+    def update(self, hash_: int, token_ids: list[int]) -> None:
+        self.hash = hash_
+        self.token_ids = token_ids
+
+    def reset(self) -> None:
+        self.ref_count = 1
+        self.hash = -1
+        self.token_ids = []
+
+
+class BlockManager:
+    def __init__(self, num_blocks: int, block_size: int):
+        assert num_blocks > 0
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.blocks: list[Block] = [Block(i) for i in range(num_blocks)]
+        self.hash_to_block_id: dict[int, int] = {}
+        # Free list is a deque ordered so that recently-freed (still hash-live)
+        # blocks go to the back; allocation pops from the front, maximizing the
+        # time a freed block's cached contents stay revivable.
+        self.free_block_ids: deque[int] = deque(range(num_blocks))
+        self.used_block_ids: set[int] = set()
+        # Observability (SURVEY.md §5: build adds structured cache stats).
+        self.prefix_cache_hits = 0
+        self.prefix_cache_queries = 0
+
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self.free_block_ids)
+
+    def _allocate_block(self, block_id: int) -> Block:
+        block = self.blocks[block_id]
+        assert block.ref_count == 0, "allocating a block still in use"
+        if block.hash != -1:
+            # This physical block's cached contents are being overwritten;
+            # drop the hash mapping if it still points here.
+            if self.hash_to_block_id.get(block.hash) == block_id:
+                del self.hash_to_block_id[block.hash]
+        block.reset()
+        self.free_block_ids.remove(block_id)
+        self.used_block_ids.add(block_id)
+        return block
+
+    def _free_block(self, block_id: int) -> None:
+        assert self.blocks[block_id].ref_count == 0
+        self.used_block_ids.remove(block_id)
+        self.free_block_ids.append(block_id)
+
+    def can_allocate(self, seq: Sequence) -> bool:
+        # Conservative: ignores potential prefix-cache hits.
+        return len(self.free_block_ids) >= seq.num_blocks
+
+    def allocate(self, seq: Sequence) -> None:
+        """Allocate blocks for a prompt, reusing prefix-cached blocks.
+
+        Full blocks carry a chained hash; a hit shares (ref_count++) or
+        revives a free block with matching contents. Once the chain misses,
+        all subsequent blocks miss (the prefix differs).
+        """
+        assert not seq.block_table, "sequence already allocated"
+        cache_miss = False
+        h = -1
+        for i in range(seq.num_blocks):
+            token_ids = seq.get_token_ids_of_block(i)
+            is_full = len(token_ids) == self.block_size
+            h = compute_block_hash(token_ids, prefix=h) if is_full else -1
+            block_id = self.hash_to_block_id.get(h, -1) if is_full else -1
+            if is_full:
+                self.prefix_cache_queries += 1
+            if block_id == -1 or self.blocks[block_id].token_ids != token_ids:
+                cache_miss = True
+            if cache_miss:
+                block_id = self.free_block_ids[0]
+                block = self._allocate_block(block_id)
+            else:
+                self.prefix_cache_hits += 1
+                seq.num_cached_tokens += self.block_size
+                if block_id in self.used_block_ids:
+                    block = self.blocks[block_id]
+                    block.ref_count += 1
+                else:
+                    # Revive a freed-but-cached block: reset() wipes hash and
+                    # contents, so restore them below via update().
+                    block = self._allocate_block(block_id)
+            if h != -1:
+                block.update(h, token_ids)
+                self.hash_to_block_id[h] = block_id
+            seq.block_table.append(block_id)
+        if seq.num_cached_tokens == seq.num_tokens:
+            # Every block hit: keep at least the last block's tokens as query
+            # tokens so prefill produces a hidden state to sample from.
+            seq.num_cached_tokens -= self.block_size
+
+    def deallocate(self, seq: Sequence) -> None:
+        for block_id in reversed(seq.block_table):
+            block = self.blocks[block_id]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                # hash_to_block_id entry survives for future prefix reuse.
+                self._free_block(block_id)
+        seq.num_cached_tokens = 0
+        seq.block_table.clear()
+
+    def can_append(self, seq: Sequence) -> bool:
+        needs_new_block = len(seq) % self.block_size == 1
+        return len(self.free_block_ids) >= int(needs_new_block)
+
+    def may_append(self, seq: Sequence) -> None:
+        """Prepare block space for the KV slot of position len(seq)-1.
+
+        Called at decode schedule time, after postprocess appended the
+        previously sampled token.
+        """
+        block_table = seq.block_table
+        last_block = self.blocks[block_table[-1]]
+        rem = len(seq) % self.block_size
+        if rem == 1:
+            # Previous block just filled; new token starts a fresh block.
+            assert last_block.hash != -1
+            block_id = self.free_block_ids[0]
+            self._allocate_block(block_id)
+            block_table.append(block_id)
+        elif rem == 0:
+            # This token fills the last block: register its chained hash.
+            assert last_block.hash == -1
+            token_ids = seq.get_token_ids_of_block(seq.num_blocks - 1)
+            prefix = self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
+            h = compute_block_hash(token_ids, prefix)
+            last_block.update(h, token_ids)
+            self.hash_to_block_id[h] = last_block.block_id
+        else:
+            assert last_block.hash == -1

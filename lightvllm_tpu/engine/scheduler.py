@@ -1,0 +1,118 @@
+"""Continuous-batching scheduler.
+
+Parity: reference `lightvllm/engine/scheduler.py:36-134` — prefill-first
+admission (FIFO drain of waiting subject to max_num_seqs /
+max_num_batched_tokens / can_allocate), decode batching over the running
+deque, recompute-only preemption of the lowest-priority (tail) running
+sequence when no block is free, postprocess finishing on EOS/max_tokens.
+
+A step schedules either ONE prefill batch or ONE decode batch, never mixed —
+this maps directly onto the two jit-compiled step shapes on TPU.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from lightvllm_tpu.config import Config
+from lightvllm_tpu.engine.block_manager import BlockManager
+from lightvllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+class Scheduler:
+    def __init__(self, config: Config):
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos = config.eos
+        assert config.num_kvcache_blocks > 0, "num_kvcache_blocks must be set"
+        self.block_manager = BlockManager(
+            config.num_kvcache_blocks, config.kvcache_block_size
+        )
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+        self.num_preemptions = 0
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def add(self, seq: Sequence) -> None:
+        # Enforced here rather than hardcoded class attrs (reference quirk,
+        # SURVEY.md §2.9.3): the sequence's block math must match the pool's.
+        assert seq.block_size == self.block_manager.block_size
+        self.waiting.append(seq)
+
+    def preempt(self, seq: Sequence) -> None:
+        """Recompute-only preemption: drop all KV blocks, requeue at the
+        front of waiting for full re-prefill (no swap-to-host)."""
+        self.num_preemptions += 1
+        seq.status = SequenceStatus.WAITING
+        self.block_manager.deallocate(seq)
+        self.waiting.appendleft(seq)
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        """Returns (scheduled sequences, is_prefill)."""
+        scheduled: list[Sequence] = []
+        num_seqs = 0
+        num_batched_tokens = 0
+
+        # Phase 1: prefill admission (strictly preempts decode scheduling).
+        while self.waiting and num_seqs < self.max_num_seqs:
+            seq = self.waiting[0]
+            # Count only uncached tokens against the batch-token budget; a
+            # prefix-cache hit makes admission cheaper (reference
+            # scheduler.py:82). can_allocate is conservative (pre-hit).
+            if not self.block_manager.can_allocate(seq):
+                break
+            self.block_manager.allocate(seq)
+            new_tokens = len(seq) - seq.num_cached_tokens
+            if num_batched_tokens + new_tokens > self.max_num_batched_tokens:
+                # Roll back the speculative allocation and stop admitting.
+                self.block_manager.deallocate(seq)
+                break
+            num_seqs += 1
+            num_batched_tokens += new_tokens
+            seq.status = SequenceStatus.RUNNING
+            self.waiting.popleft()
+            self.running.append(seq)
+            scheduled.append(seq)
+        if scheduled:
+            return scheduled, True
+
+        # Phase 2: decode batching.
+        while self.running and num_seqs < self.max_num_seqs:
+            seq = self.running.popleft()
+            preempted_self = False
+            while not self.block_manager.can_append(seq):
+                if self.running:
+                    self.preempt(self.running.pop())
+                else:
+                    self.preempt(seq)
+                    preempted_self = True
+                    break
+            if preempted_self:
+                break
+            num_seqs += 1
+            self.block_manager.may_append(seq)
+            scheduled.append(seq)
+        if not scheduled:
+            # Only reachable when a lone sequence outgrew the entire pool:
+            # recompute-preemption needs strictly more blocks than it freed,
+            # so this cannot resolve. Surface it instead of looping forever.
+            raise RuntimeError(
+                "KV cache too small: a single sequence exceeds the block pool "
+                "(increase num_kvcache_blocks or reduce max_model_len)"
+            )
+        # Re-insert at the front of running, preserving priority order.
+        self.running.extendleft(reversed(scheduled))
+        return scheduled, False
+
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> None:
+        for seq, token_id in zip(seqs, token_ids):
+            seq.append_token(token_id)
+            hit_stop = token_id in seq.stop_token_ids or (
+                not seq.ignore_eos and token_id == self.eos
+            )
+            if hit_stop or seq.num_completion_tokens >= seq.max_tokens:
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.running.remove(seq)

@@ -1,0 +1,16 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU backend so that sharding logic is
+exercised without TPU hardware (SURVEY.md §4). Set RUN_ON_TPU=1 to run the
+suite against the real chip instead.
+"""
+
+import os
+
+if not os.environ.get("RUN_ON_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
