@@ -1,0 +1,167 @@
+"""LLMEngine: orchestrates tokenizer, runner, scheduler, and the step loop.
+
+Parity: reference `lightvllm/engine/llm_engine.py:30-295` — add_request /
+step / is_finished / generate / exit surface, per-step throughput accounting
+(prefill vs decode tokens/s), tqdm progress. TPU-first: no worker-process
+spawn/atexit teardown — single-controller JAX owns all local devices; step()
+returns (finished outputs, num_tokens) with an explicit is_prefill flag
+instead of the reference's signed-token-count convention (SURVEY.md §2.9.10).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import fields
+
+import numpy as np
+
+from lightvllm_tpu.config import Config
+from lightvllm_tpu.engine.runner import ModelRunner
+from lightvllm_tpu.engine.scheduler import Scheduler
+from lightvllm_tpu.engine.sequence import Sequence
+from lightvllm_tpu.models import get_model_module
+from lightvllm_tpu.sampling_params import SamplingParams
+
+
+class LLMEngine:
+    def __init__(self, model: str = "", **kwargs):
+        config_kwargs = {
+            k: v for k, v in kwargs.items() if k in {f.name for f in fields(Config)}
+        }
+        self.config = Config(model=model, **config_kwargs)
+        self.tokenizer = None
+        params = kwargs.get("params")
+        spec = kwargs.get("spec")
+        if model:
+            from transformers import AutoTokenizer
+
+            try:
+                self.tokenizer = AutoTokenizer.from_pretrained(model)
+                if self.config.eos < 0 and self.tokenizer.eos_token_id is not None:
+                    self.config.eos = self.tokenizer.eos_token_id
+            except Exception:
+                self.tokenizer = None  # token-id-only mode
+            mod = get_model_module(self.config.hf_config)
+            if spec is None:
+                spec = mod.ModelSpec.from_hf_config(
+                    self.config.hf_config, self.config.dtype
+                )
+            if params is None:
+                params = mod.load_params(
+                    self.config.model_path,
+                    spec,
+                    self.config.quantization,
+                    self.config.quant_group_size,
+                )
+        assert spec is not None and params is not None, (
+            "provide a model path or explicit spec= and params="
+        )
+        if self.config.eos < 0 and self.config.hf_config is not None:
+            eos = getattr(self.config.hf_config, "eos_token_id", None)
+            if isinstance(eos, (list, tuple)):
+                eos = eos[0]
+            if eos is not None:
+                self.config.eos = eos
+        self.model_runner = ModelRunner(
+            self.config, spec, params, rng_seed=kwargs.get("rng_seed", 0)
+        )
+        self.scheduler = Scheduler(self.config)
+        self._stats = {"prefill_tokens": 0, "decode_tokens": 0, "prefill_s": 0.0, "decode_s": 0.0}
+
+    # ---------------- public API (mirrors the reference surface) ---------
+
+    def add_request(
+        self, prompt: str | list[int], sampling_params: SamplingParams | None = None
+    ) -> int:
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, "string prompt needs a tokenizer"
+            prompt = self.tokenizer.encode(prompt)
+        assert len(prompt) <= self.config.max_model_len, "prompt exceeds max_model_len"
+        seq = Sequence(
+            prompt, sampling_params, block_size=self.config.kvcache_block_size
+        )
+        self.scheduler.add(seq)
+        return seq.seq_id
+
+    def step(self) -> tuple[list[tuple[int, list[int]]], int, bool]:
+        """Run one engine step.
+
+        Returns (finished [(seq_id, completion_token_ids)], num_tokens
+        processed, is_prefill).
+        """
+        t0 = time.perf_counter()
+        seqs, is_prefill = self.scheduler.schedule()
+        token_ids = self.model_runner.run(seqs, is_prefill)
+        self.scheduler.postprocess(seqs, token_ids)
+        finished = [
+            (s.seq_id, s.completion_token_ids) for s in seqs if s.is_finished
+        ]
+        if is_prefill:
+            n = sum(len(s) - s.num_cached_tokens for s in seqs)
+            self._stats["prefill_tokens"] += n
+            self._stats["prefill_s"] += time.perf_counter() - t0
+        else:
+            n = len(seqs)
+            self._stats["decode_tokens"] += n
+            self._stats["decode_s"] += time.perf_counter() - t0
+        return finished, n, is_prefill
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    def generate(
+        self,
+        prompts: list[str] | list[list[int]],
+        sampling_params: SamplingParams | list[SamplingParams] | None = None,
+        use_tqdm: bool = True,
+    ) -> list[dict]:
+        if sampling_params is None or isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * len(prompts)
+        seq_ids = [
+            self.add_request(p, sp) for p, sp in zip(prompts, sampling_params)
+        ]
+        order = {sid: i for i, sid in enumerate(seq_ids)}
+        outputs: dict[int, list[int]] = {}
+        pbar = None
+        if use_tqdm:
+            from tqdm.auto import tqdm
+
+            pbar = tqdm(total=len(prompts), desc="generating")
+        while not self.is_finished():
+            finished, _, _ = self.step()
+            for sid, completion in finished:
+                if sid in order:
+                    outputs[sid] = completion
+                    if pbar:
+                        pbar.update(1)
+        if pbar:
+            pbar.close()
+        results = []
+        for sid in seq_ids:
+            completion = outputs[sid]
+            text = (
+                self.tokenizer.decode(completion, skip_special_tokens=True)
+                if self.tokenizer
+                else ""
+            )
+            results.append(
+                {"seq_id": sid, "token_ids": completion, "text": text}
+            )
+        return results
+
+    @property
+    def throughput(self) -> dict:
+        s = self._stats
+        return {
+            "prefill_tok_per_s": s["prefill_tokens"] / s["prefill_s"]
+            if s["prefill_s"]
+            else 0.0,
+            "decode_tok_per_s": s["decode_tokens"] / s["decode_s"]
+            if s["decode_s"]
+            else 0.0,
+            **s,
+        }
+
+    def exit(self) -> None:
+        # No worker processes or SHM to tear down (single-controller JAX).
+        pass

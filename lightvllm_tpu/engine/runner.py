@@ -1,0 +1,242 @@
+"""ModelRunner: prepares bucketed inputs and drives the jitted step.
+
+Parity: reference `lightvllm/engine/model_runner.py` — weight load, KV-cache
+sizing/alloc (:201-254), prefill/decode input prep (:271-418), CUDA-graph
+capture/replay (:436-461,489-548), sampling. TPU-first replacements:
+  - CUDA graphs -> jit shape buckets: every (tokens, seqs, kv-blocks) combo
+    pads up to powers of two, so each bucket traces/compiles once and decode
+    replays a cached executable (SURVEY.md §2.8 TPU analog).
+  - No worker processes / SHM RPC: single-controller JAX dispatches to all
+    local devices; sharding is data, not control flow (SURVEY.md §2.5).
+  - KV-cache sizing probes device memory_stats() instead of torch.cuda
+    mem_get_info after a warmup forward.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightvllm_tpu.config import Config
+from lightvllm_tpu.engine.sequence import Sequence
+from lightvllm_tpu.models import qwen3
+from lightvllm_tpu.ops.kv_cache import (
+    KVCache,
+    alloc_kv_cache,
+    kv_cache_bytes_per_block,
+)
+from lightvllm_tpu.ops.sampling import sample
+from lightvllm_tpu.utils.metadata import DecodeMeta, PrefillMeta
+
+PAD_SLOT_NP = np.iinfo(np.int32).max
+
+
+def bucket(n: int, minimum: int = 8, cap: int | None = None) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return min(b, cap) if cap is not None else b
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        config: Config,
+        spec: qwen3.ModelSpec,
+        params: dict,
+        rng_seed: int = 0,
+    ):
+        self.config = config
+        self.spec = spec
+        self.params = params
+        self.block_size = config.kvcache_block_size
+        self.fp8_kv = config.kv_cache_dtype == "fp8"
+        self._key = jax.random.PRNGKey(rng_seed)
+
+        self.num_blocks = self._size_kv_cache()
+        config.num_kvcache_blocks = self.num_blocks
+        self.cache: KVCache = alloc_kv_cache(
+            spec.num_layers,
+            spec.num_kv_heads,
+            self.num_blocks,
+            self.block_size,
+            spec.head_dim,
+            spec.jnp_dtype,
+            self.fp8_kv,
+        )
+
+        bs = self.block_size
+
+        def prefill_fn(params, token_ids, meta, cache, key):
+            logits, cache = qwen3.forward_prefill(
+                params, spec, token_ids, meta, cache, bs
+            )
+            tokens = sample(logits, meta.temperatures, key)
+            return tokens, cache
+
+        def decode_fn(params, token_ids, meta, cache, key):
+            logits, cache = qwen3.forward_decode(
+                params, spec, token_ids, meta, cache, bs
+            )
+            tokens = sample(logits, meta.temperatures, key)
+            return tokens, cache
+
+        if config.enforce_eager:
+            self._prefill = prefill_fn
+            self._decode = decode_fn
+        else:
+            self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
+            self._decode = jax.jit(decode_fn, donate_argnums=(3,))
+
+        # Step statistics (SURVEY.md §5: structured per-step metrics).
+        self.last_step_stats: dict = {}
+
+    # ---------------- KV sizing ----------------
+
+    def _size_kv_cache(self) -> int:
+        cfg = self.config
+        if cfg.num_kvcache_blocks > 0:
+            return cfg.num_kvcache_blocks
+        per_block = kv_cache_bytes_per_block(
+            self.spec.num_layers,
+            self.spec.num_kv_heads,
+            self.block_size,
+            self.spec.head_dim,
+            self.spec.jnp_dtype,
+            self.fp8_kv,
+        )
+        dev = jax.devices()[0]
+        stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        if stats and "bytes_limit" in stats:
+            free = stats["bytes_limit"] * cfg.hbm_memory_utilization - stats.get(
+                "bytes_in_use", 0
+            )
+            num = int(free // per_block)
+        else:
+            # CPU/test backend: enough blocks for max_num_seqs short seqs.
+            num = 1024
+        min_needed = cfg.max_blocks_per_seq + 1
+        assert num >= min_needed, (
+            f"KV cache pool too small: {num} blocks < {min_needed} needed for "
+            f"one max_model_len sequence"
+        )
+        return num
+
+    # ---------------- input prep (host, numpy) ----------------
+
+    def prepare_prefill(self, seqs: list[Sequence]) -> tuple[np.ndarray, PrefillMeta]:
+        bs = self.block_size
+        B_real = len(seqs)
+        lens = [len(s) - s.num_cached_tokens for s in seqs]
+        T_real = sum(lens)
+        T = bucket(T_real, minimum=16)
+        B = bucket(B_real, minimum=1)
+        Sq = bucket(max(lens), minimum=16)
+        NB = bucket(
+            max((len(s) + bs - 1) // bs for s in seqs),
+            minimum=1,
+            cap=self.config.max_blocks_per_seq,
+        )
+
+        token_ids = np.zeros(T, np.int32)
+        slot_mapping = np.full(T, PAD_SLOT_NP, np.int32)
+        token_seq = np.zeros(T, np.int32)
+        token_rect_pos = np.zeros(T, np.int32)
+        rect_index = np.full((B, Sq), T, np.int32)
+        cached_lens = np.zeros(B, np.int32)
+        ctx_lens = np.zeros(B, np.int32)
+        block_tables = np.zeros((B, NB), np.int32)
+        last_flat_idx = np.zeros(B, np.int32)
+        temperatures = np.zeros(B, np.float32)
+
+        t = 0
+        for b, seq in enumerate(seqs):
+            nc = seq.num_cached_tokens
+            new = seq.token_ids[nc:]
+            n = len(new)
+            token_ids[t : t + n] = new
+            token_seq[t : t + n] = b
+            token_rect_pos[t : t + n] = np.arange(n)
+            rect_index[b, :n] = np.arange(t, t + n)
+            for j in range(n):
+                pos = nc + j
+                blk = seq.block_table[pos // bs]
+                slot_mapping[t + j] = blk * bs + pos % bs
+            cached_lens[b] = nc
+            ctx_lens[b] = len(seq)
+            block_tables[b, : len(seq.block_table)] = seq.block_table
+            last_flat_idx[b] = t + n - 1
+            temperatures[b] = seq.temperature
+            t += n
+
+        meta = PrefillMeta(
+            slot_mapping=jnp.asarray(slot_mapping),
+            token_seq=jnp.asarray(token_seq),
+            token_rect_pos=jnp.asarray(token_rect_pos),
+            rect_index=jnp.asarray(rect_index),
+            cached_lens=jnp.asarray(cached_lens),
+            ctx_lens=jnp.asarray(ctx_lens),
+            block_tables=jnp.asarray(block_tables),
+            last_flat_idx=jnp.asarray(last_flat_idx),
+            temperatures=jnp.asarray(temperatures),
+        )
+        return jnp.asarray(token_ids), meta
+
+    def prepare_decode(self, seqs: list[Sequence]) -> tuple[np.ndarray, DecodeMeta]:
+        bs = self.block_size
+        B = bucket(len(seqs), minimum=8, cap=bucket(self.config.max_num_seqs, 8))
+        NB = bucket(
+            max(len(s.block_table) for s in seqs),
+            minimum=1,
+            cap=self.config.max_blocks_per_seq,
+        )
+        token_ids = np.zeros(B, np.int32)
+        slot_mapping = np.full(B, PAD_SLOT_NP, np.int32)
+        positions = np.zeros(B, np.int32)
+        ctx_lens = np.zeros(B, np.int32)
+        block_tables = np.zeros((B, NB), np.int32)
+        temperatures = np.zeros(B, np.float32)
+        for b, seq in enumerate(seqs):
+            token_ids[b] = seq.last_token
+            pos = len(seq) - 1
+            blk = seq.block_table[pos // bs]
+            slot_mapping[b] = blk * bs + pos % bs
+            positions[b] = pos
+            ctx_lens[b] = len(seq)
+            block_tables[b, : len(seq.block_table)] = seq.block_table
+            temperatures[b] = seq.temperature
+        meta = DecodeMeta(
+            slot_mapping=jnp.asarray(slot_mapping),
+            positions=jnp.asarray(positions),
+            ctx_lens=jnp.asarray(ctx_lens),
+            block_tables=jnp.asarray(block_tables),
+            temperatures=jnp.asarray(temperatures),
+        )
+        return jnp.asarray(token_ids), meta
+
+    # ---------------- step ----------------
+
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        t0 = time.perf_counter()
+        self._key, step_key = jax.random.split(self._key)
+        if is_prefill:
+            token_ids, meta = self.prepare_prefill(seqs)
+            tokens, self.cache = self._prefill(
+                self.params, token_ids, meta, self.cache, step_key
+            )
+        else:
+            token_ids, meta = self.prepare_decode(seqs)
+            tokens, self.cache = self._decode(
+                self.params, token_ids, meta, self.cache, step_key
+            )
+        out = np.asarray(tokens)[: len(seqs)].tolist()
+        self.last_step_stats = {
+            "is_prefill": is_prefill,
+            "num_seqs": len(seqs),
+            "padded_shape": tuple(token_ids.shape),
+            "step_time_s": time.perf_counter() - t0,
+        }
+        return out

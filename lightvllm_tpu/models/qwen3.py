@@ -1,0 +1,220 @@
+"""Qwen3 decoder-only model, functional JAX.
+
+Parity: reference `lightvllm/models/qwen3.py:14-333` — GQA attention with
+per-head q/k RMSNorm before RoPE, SwiGLU MLP, pre-norm decoder layers,
+optionally tied embeddings; fused qkv and gate_up projections (the
+packed_modules_mapping at qwen3.py:292-298 becomes fusion at load time).
+
+TPU-first design:
+  - Weights are a pytree with layer-stacked leaves (L, ...); the decoder
+    stack is a single `lax.scan` (one compiled layer body, fast compiles).
+  - The KV cache is scan carry state updated in place (donated buffer).
+  - No parallel-layer classes: sharding comes from PartitionSpecs on this
+    pytree (parallel/sharding.py), and XLA/GSPMD inserts the collectives the
+    reference issues manually (linear.py:389, embed_head.py:112,186).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from lightvllm_tpu.ops.activations import silu_and_mul
+from lightvllm_tpu.ops.attention import (
+    paged_decode_attention,
+    paged_prefill_attention,
+)
+from lightvllm_tpu.ops.kv_cache import KVCache, write_kv_layer
+from lightvllm_tpu.ops.norms import add_rms_norm, rms_norm
+from lightvllm_tpu.ops.quantization import matmul, quantize_weight
+from lightvllm_tpu.ops.rope import apply_rope
+from lightvllm_tpu.utils.metadata import DecodeMeta, PrefillMeta
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Static architecture description (hashable; safe as a jit static)."""
+
+    num_layers: int
+    hidden_size: int
+    num_q_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    vocab_size: int
+    rope_theta: float
+    rms_eps: float
+    tie_word_embeddings: bool
+    dtype: str = "bfloat16"
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def qkv_out(self) -> int:
+        return (self.num_q_heads + 2 * self.num_kv_heads) * self.head_dim
+
+    @staticmethod
+    def from_hf_config(hf_config: Any, dtype: str = "bfloat16") -> "ModelSpec":
+        head_dim = getattr(hf_config, "head_dim", None) or (
+            hf_config.hidden_size // hf_config.num_attention_heads
+        )
+        return ModelSpec(
+            num_layers=hf_config.num_hidden_layers,
+            hidden_size=hf_config.hidden_size,
+            num_q_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            head_dim=head_dim,
+            intermediate_size=hf_config.intermediate_size,
+            vocab_size=hf_config.vocab_size,
+            rope_theta=float(getattr(hf_config, "rope_theta", 1e6)),
+            rms_eps=float(getattr(hf_config, "rms_norm_eps", 1e-6)),
+            tie_word_embeddings=bool(getattr(hf_config, "tie_word_embeddings", False)),
+            dtype=dtype,
+        )
+
+
+def init_params(
+    spec: ModelSpec,
+    key: jax.Array,
+    quantization: str | None = None,
+    group_size: int = 128,
+) -> dict:
+    """Random-weight init (benchmarks / tests without a checkpoint)."""
+    dt = spec.jnp_dtype
+    E, D, L = spec.hidden_size, spec.head_dim, spec.num_layers
+    Hq, Hkv, I = spec.num_q_heads, spec.num_kv_heads, spec.intermediate_size
+    keys = iter(jax.random.split(key, 8))
+
+    def w(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dt)
+
+    def maybe_q(x):
+        if quantization is None:
+            return x
+        bits = 8 if quantization == "int8" else 4
+        return jax.vmap(lambda m: quantize_weight(m, bits, group_size))(x)
+
+    params = {
+        "embed": w(next(keys), (spec.vocab_size, E)),
+        "layers": {
+            "input_ln": jnp.ones((L, E), dt),
+            "wqkv": maybe_q(w(next(keys), (L, E, spec.qkv_out))),
+            "q_norm": jnp.ones((L, D), dt),
+            "k_norm": jnp.ones((L, D), dt),
+            "wo": maybe_q(w(next(keys), (L, Hq * D, E))),
+            "post_ln": jnp.ones((L, E), dt),
+            "w_gate_up": maybe_q(w(next(keys), (L, E, 2 * I))),
+            "w_down": maybe_q(w(next(keys), (L, I, E))),
+        },
+        "final_ln": jnp.ones((E,), dt),
+        "lm_head": None if spec.tie_word_embeddings else w(next(keys), (E, spec.vocab_size)),
+    }
+    return params
+
+
+def _decoder_stack(
+    params: dict,
+    spec: ModelSpec,
+    token_ids: jnp.ndarray,  # (T,) int32
+    positions: jnp.ndarray,  # (T,) int32
+    cache: KVCache,
+    slot_mapping: jnp.ndarray,  # (T,)
+    attn_fn: Callable,  # (q, cache, layer) -> attn out, q shaped (T, Hq, D)
+) -> tuple[jnp.ndarray, KVCache]:
+    dt = spec.jnp_dtype
+    T = token_ids.shape[0]
+    Hq, Hkv, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
+    h = jnp.take(params["embed"], token_ids, axis=0).astype(dt)
+
+    def layer_fn(carry, xs):
+        h, cache = carry
+        lp, layer_idx = xs
+        # --- attention block ---
+        normed = rms_norm(h, lp["input_ln"], spec.rms_eps)
+        qkv = matmul(normed, lp["wqkv"])
+        q = qkv[:, : Hq * D].reshape(T, Hq, D)
+        k = qkv[:, Hq * D : (Hq + Hkv) * D].reshape(T, Hkv, D)
+        v = qkv[:, (Hq + Hkv) * D :].reshape(T, Hkv, D)
+        q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+        k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+        q, k = apply_rope(q, k, positions, spec.rope_theta)
+        cache = write_kv_layer(cache, layer_idx, k, v, slot_mapping)
+        attn = attn_fn(q, cache, layer_idx)
+        o = matmul(attn.reshape(T, Hq * D), lp["wo"])
+        # --- MLP block (fused add+norm, reference layernorm.py:52-80) ---
+        normed2, h = add_rms_norm(o, h, lp["post_ln"], spec.rms_eps)
+        gate_up = matmul(normed2, lp["w_gate_up"])
+        mlp = matmul(silu_and_mul(gate_up), lp["w_down"])
+        h = h + mlp
+        return (h, cache), None
+
+    (h, cache), _ = jax.lax.scan(
+        layer_fn,
+        (h, cache),
+        (params["layers"], jnp.arange(spec.num_layers, dtype=jnp.int32)),
+    )
+    h = rms_norm(h, params["final_ln"], spec.rms_eps)
+    return h, cache
+
+
+def compute_logits(params: dict, spec: ModelSpec, h: jnp.ndarray) -> jnp.ndarray:
+    """h (B, E) -> logits (B, V) float32. Tied head contracts against the
+    embedding matrix without materializing its transpose."""
+    if params.get("lm_head") is not None:
+        return matmul(h, params["lm_head"]).astype(jnp.float32)
+    from lightvllm_tpu.ops.quantization import _precision
+
+    return jax.lax.dot_general(
+        h,
+        params["embed"],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision(h),
+    )
+
+
+def forward_prefill(
+    params: dict,
+    spec: ModelSpec,
+    token_ids: jnp.ndarray,
+    meta: PrefillMeta,
+    cache: KVCache,
+    block_size: int,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Returns (last-token logits (B, V), updated cache)."""
+    scale = spec.head_dim**-0.5
+    positions = meta.cached_lens[meta.token_seq] + meta.token_rect_pos
+
+    def attn_fn(q, cache, layer):
+        return paged_prefill_attention(q, cache, layer, meta, block_size, scale)
+
+    h, cache = _decoder_stack(
+        params, spec, token_ids, positions, cache, meta.slot_mapping, attn_fn
+    )
+    T = token_ids.shape[0]
+    h_last = h[jnp.clip(meta.last_flat_idx, 0, T - 1)]  # (B, E)
+    return compute_logits(params, spec, h_last), cache
+
+
+def forward_decode(
+    params: dict,
+    spec: ModelSpec,
+    token_ids: jnp.ndarray,  # (B,) last tokens
+    meta: DecodeMeta,
+    cache: KVCache,
+    block_size: int,
+) -> tuple[jnp.ndarray, KVCache]:
+    scale = spec.head_dim**-0.5
+
+    def attn_fn(q, cache, layer):
+        return paged_decode_attention(q, cache, layer, meta, block_size, scale)
+
+    h, cache = _decoder_stack(
+        params, spec, token_ids, meta.positions, cache, meta.slot_mapping, attn_fn
+    )
+    return compute_logits(params, spec, h), cache

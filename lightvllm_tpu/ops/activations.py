@@ -1,0 +1,21 @@
+"""Activation ops.
+
+Parity: reference `lightvllm/layers/activation.py:31-48` (SiluAndMul over a
+fused gate_up projection, fp32 math) and the CUDA/Triton swiglu kernels
+(`kernels/cuda_kernels/activation.cu:29-54`, `kernels/triton_kernels/
+activation.py:29-77`). XLA fuses this elementwise chain into the surrounding
+matmuls; a Pallas variant lives in ops/pallas/ for parity with the
+reference's pluggable-backend design.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def silu_and_mul(gate_up: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU: SiLU(gate) * up where gate_up = concat([gate, up], axis=-1)."""
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    gf = gate.astype(jnp.float32)
+    return (gf * jax.nn.sigmoid(gf) * up.astype(jnp.float32)).astype(gate_up.dtype)

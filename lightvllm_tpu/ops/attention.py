@@ -1,0 +1,104 @@
+"""Paged attention over block tables — jnp reference implementations.
+
+Parity: reference `lightvllm/layers/attention.py:126-179`, which dispatches
+to the external flash-attn CUDA library (varlen prefill + paged decode). Here
+we own the attention math. These jnp versions are the correctness oracles and
+the fallback path; the Pallas flash kernels in ops/pallas/ are swapped in by
+the runner on TPU (same signatures).
+
+Both read K/V from the paged cache (which already contains this step's
+freshly written tokens), so prefix-cached prefill and decode share one code
+path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lightvllm_tpu.ops.kv_cache import KVCache, gather_kv_for_seqs
+from lightvllm_tpu.ops.quantization import _precision
+from lightvllm_tpu.utils.metadata import DecodeMeta, PrefillMeta
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _grouped_scores(q, k):
+    """q (B, Sq, Hq, D), k (B, Skv, Hkv, D) -> scores (B, Hkv, G, Sq, Skv)."""
+    B, Sq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    G = Hq // Hkv
+    qg = q.reshape(B, Sq, Hkv, G, D)
+    return jnp.einsum(
+        "bqhgd,bkhd->bhgqk",
+        qg,
+        k,
+        preferred_element_type=jnp.float32,
+        precision=_precision(q),
+    )
+
+
+def _weighted_values(p, v):
+    """p (B, Hkv, G, Sq, Skv), v (B, Skv, Hkv, D) -> (B, Sq, Hq, D)."""
+    B, Hkv, G, Sq, _ = p.shape
+    D = v.shape[-1]
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd",
+        p.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+        precision=_precision(v),
+    )
+    return out.reshape(B, Sq, Hkv * G, D)
+
+
+def paged_prefill_attention(
+    q: jnp.ndarray,  # (T, Hq, D) flat new tokens, already rope'd
+    cache: KVCache,
+    layer: jnp.ndarray,
+    meta: PrefillMeta,
+    block_size: int,
+    scale: float,
+) -> jnp.ndarray:  # (T, Hq, D)
+    T, Hq, D = q.shape
+    B, Sq = meta.rect_index.shape
+    # Rectangularize: (B, Sq, Hq, D); padding slots clamp-gather garbage that
+    # is never read back (flat gather below only touches real tokens).
+    q_rect = q[jnp.clip(meta.rect_index, 0, T - 1)]
+    k, v = gather_kv_for_seqs(
+        cache, layer, meta.block_tables, block_size, jnp.float32
+    )  # (B, Skv, Hkv, D)
+    Skv = k.shape[1]
+
+    s = _grouped_scores(q_rect.astype(jnp.float32), k) * scale
+    q_pos = meta.cached_lens[:, None] + jnp.arange(Sq, dtype=jnp.int32)[None, :]
+    kv_pos = jnp.arange(Skv, dtype=jnp.int32)
+    mask = (kv_pos[None, None, :] <= q_pos[:, :, None]) & (
+        kv_pos[None, None, :] < meta.ctx_lens[:, None, None]
+    )  # (B, Sq, Skv)
+    s = jnp.where(mask[:, None, None, :, :], s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out_rect = _weighted_values(p, v)  # (B, Sq, Hq, D) f32
+    out = out_rect[meta.token_seq, meta.token_rect_pos]  # (T, Hq, D)
+    return out.astype(q.dtype)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,  # (B, Hq, D), already rope'd
+    cache: KVCache,
+    layer: jnp.ndarray,
+    meta: DecodeMeta,
+    block_size: int,
+    scale: float,
+) -> jnp.ndarray:  # (B, Hq, D)
+    k, v = gather_kv_for_seqs(
+        cache, layer, meta.block_tables, block_size, jnp.float32
+    )
+    Skv = k.shape[1]
+    s = _grouped_scores(q[:, None].astype(jnp.float32), k) * scale
+    kv_pos = jnp.arange(Skv, dtype=jnp.int32)
+    mask = kv_pos[None, :] < meta.ctx_lens[:, None]  # (B, Skv)
+    s = jnp.where(mask[:, None, None, None, :], s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out = _weighted_values(p, v)  # (B, 1, Hq, D)
+    return out[:, 0].astype(q.dtype)
