@@ -1,0 +1,115 @@
+"""Benchmark: decode throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); vs_baseline is measured
+against the BASELINE.json north-star serving target of 2,000 tok/s/chip
+decode. Config here: Qwen3-0.6B architecture, random bf16 weights,
+continuous-batching decode at batch 32 (bench-time knobs via env:
+BENCH_BATCH, BENCH_PROMPT, BENCH_STEPS, BENCH_QUANT, BENCH_KV).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+NORTH_STAR_TOK_S = 2000.0
+
+
+def main():
+    from lightvllm_tpu.config import Config
+    from lightvllm_tpu.engine.runner import ModelRunner
+    from lightvllm_tpu.engine.scheduler import Scheduler
+    from lightvllm_tpu.engine.sequence import Sequence
+    from lightvllm_tpu.models import qwen3
+    from lightvllm_tpu.sampling_params import SamplingParams
+
+    batch = int(os.environ.get("BENCH_BATCH", 32))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", 128))
+    decode_steps = int(os.environ.get("BENCH_STEPS", 64))
+    quant = os.environ.get("BENCH_QUANT") or None  # int8 | int4
+    kv = os.environ.get("BENCH_KV", "auto")  # auto | fp8
+
+    spec = qwen3.ModelSpec(
+        num_layers=28,
+        hidden_size=1024,
+        num_q_heads=16,
+        num_kv_heads=8,
+        head_dim=128,
+        intermediate_size=3072,
+        vocab_size=151936,
+        rope_theta=1e6,
+        rms_eps=1e-6,
+        tie_word_embeddings=True,
+        dtype="bfloat16",
+    )
+    params = qwen3.init_params(spec, jax.random.PRNGKey(0), quantization=quant)
+    config = Config(
+        max_num_seqs=max(batch, 8),
+        max_model_len=2048,
+        max_num_batched_tokens=max(4096, batch * prompt_len),
+        kvcache_block_size=64,
+        num_kvcache_blocks=-1,
+        quantization=quant,
+        kv_cache_dtype=kv,
+        eos=-1,
+    )
+    runner = ModelRunner(config, spec, params)
+    sched = Scheduler(config)
+    rng = __import__("numpy").random.default_rng(0)
+    for _ in range(batch):
+        toks = rng.integers(1, spec.vocab_size, size=prompt_len).tolist()
+        sched.add(
+            Sequence(
+                toks,
+                SamplingParams(
+                    temperature=0.0, max_tokens=decode_steps + 8, ignore_eos=True
+                ),
+                block_size=config.kvcache_block_size,
+            )
+        )
+
+    # Prefill (may take several scheduler steps) + warmup decode steps.
+    prefill_s = 0.0
+    prefill_tokens = 0
+    while True:
+        seqs, is_prefill = sched.schedule()
+        t0 = time.perf_counter()
+        tokens = runner.run(seqs, is_prefill)
+        jax.block_until_ready(runner.cache.k)
+        dt = time.perf_counter() - t0
+        sched.postprocess(seqs, tokens)
+        if is_prefill:
+            prefill_s += dt
+            prefill_tokens += sum(len(s) for s in seqs)
+        else:
+            break  # first decode step done (compiled)
+
+    # Timed decode.
+    t0 = time.perf_counter()
+    done = 0
+    for _ in range(decode_steps):
+        seqs, is_prefill = sched.schedule()
+        assert not is_prefill
+        tokens = runner.run(seqs, is_prefill)
+        sched.postprocess(seqs, tokens)
+        done += len(seqs)
+    jax.block_until_ready(runner.cache.k)
+    decode_s = time.perf_counter() - t0
+
+    tok_per_s = done / decode_s
+    result = {
+        "metric": f"decode throughput Qwen3-0.6B {quant or 'bf16'} kv={kv} b{batch} (1 chip)",
+        "value": round(tok_per_s, 1),
+        "unit": "tok/s/chip",
+        "vs_baseline": round(tok_per_s / NORTH_STAR_TOK_S, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

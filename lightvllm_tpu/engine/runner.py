@@ -48,13 +48,30 @@ class ModelRunner:
         spec: qwen3.ModelSpec,
         params: dict,
         rng_seed: int = 0,
+        mesh=None,
     ):
         self.config = config
         self.spec = spec
-        self.params = params
         self.block_size = config.kvcache_block_size
         self.fp8_kv = config.kv_cache_dtype == "fp8"
         self._key = jax.random.PRNGKey(rng_seed)
+
+        self.mesh = mesh
+        if mesh is None and config.tensor_parallel_size * config.data_parallel_size > 1:
+            from lightvllm_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(
+                config.tensor_parallel_size, config.data_parallel_size
+            )
+        if self.mesh is not None:
+            from lightvllm_tpu.parallel.sharding import shard_params
+
+            tp = self.mesh.shape["model"]
+            assert spec.num_kv_heads % tp == 0, (
+                f"num_kv_heads {spec.num_kv_heads} not divisible by tp {tp}"
+            )
+            params = shard_params(params, self.mesh)
+        self.params = params
 
         self.num_blocks = self._size_kv_cache()
         config.num_kvcache_blocks = self.num_blocks
@@ -67,6 +84,24 @@ class ModelRunner:
             spec.jnp_dtype,
             self.fp8_kv,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from lightvllm_tpu.parallel.sharding import kv_cache_specs
+
+            specs = kv_cache_specs(self.fp8_kv)
+            self.cache = KVCache(
+                **{
+                    f: (
+                        None
+                        if getattr(self.cache, f) is None
+                        else jax.device_put(
+                            getattr(self.cache, f),
+                            NamedSharding(self.mesh, specs[f]),
+                        )
+                    )
+                    for f in ("k", "v", "k_scale", "v_scale")
+                }
+            )
 
         bs = self.block_size
 
@@ -108,6 +143,9 @@ class ModelRunner:
             self.spec.jnp_dtype,
             self.fp8_kv,
         )
+        if self.mesh is not None:
+            # Cache shards over KV heads: each device holds 1/tp of a block.
+            per_block //= self.mesh.shape["model"]
         dev = jax.devices()[0]
         stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
         if stats and "bytes_limit" in stats:

@@ -22,7 +22,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from lightvllm_tpu.ops.activations import silu_and_mul
+from lightvllm_tpu.ops.activations import swiglu
 from lightvllm_tpu.ops.attention import (
     paged_decode_attention,
     paged_prefill_attention,
@@ -99,16 +99,23 @@ def init_params(
         bits = 8 if quantization == "int8" else 4
         return jax.vmap(lambda m: quantize_weight(m, bits, group_size))(x)
 
+    # q/k/v and gate/up are separate tensors (not packed like the
+    # reference's QKVParallelLinear / MergedColumnParallelLinear): packed
+    # layouts misalign with contiguous GSPMD shards on the "model" axis,
+    # forcing activation resharding. Same HBM traffic either way.
     params = {
         "embed": w(next(keys), (spec.vocab_size, E)),
         "layers": {
             "input_ln": jnp.ones((L, E), dt),
-            "wqkv": maybe_q(w(next(keys), (L, E, spec.qkv_out))),
+            "wq": maybe_q(w(next(keys), (L, E, Hq * D))),
+            "wk": maybe_q(w(next(keys), (L, E, Hkv * D))),
+            "wv": maybe_q(w(next(keys), (L, E, Hkv * D))),
             "q_norm": jnp.ones((L, D), dt),
             "k_norm": jnp.ones((L, D), dt),
             "wo": maybe_q(w(next(keys), (L, Hq * D, E))),
             "post_ln": jnp.ones((L, E), dt),
-            "w_gate_up": maybe_q(w(next(keys), (L, E, 2 * I))),
+            "w_gate": maybe_q(w(next(keys), (L, E, I))),
+            "w_up": maybe_q(w(next(keys), (L, E, I))),
             "w_down": maybe_q(w(next(keys), (L, I, E))),
         },
         "final_ln": jnp.ones((E,), dt),
@@ -136,10 +143,9 @@ def _decoder_stack(
         lp, layer_idx = xs
         # --- attention block ---
         normed = rms_norm(h, lp["input_ln"], spec.rms_eps)
-        qkv = matmul(normed, lp["wqkv"])
-        q = qkv[:, : Hq * D].reshape(T, Hq, D)
-        k = qkv[:, Hq * D : (Hq + Hkv) * D].reshape(T, Hkv, D)
-        v = qkv[:, (Hq + Hkv) * D :].reshape(T, Hkv, D)
+        q = matmul(normed, lp["wq"]).reshape(T, Hq, D)
+        k = matmul(normed, lp["wk"]).reshape(T, Hkv, D)
+        v = matmul(normed, lp["wv"]).reshape(T, Hkv, D)
         q = rms_norm(q, lp["q_norm"], spec.rms_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
         q, k = apply_rope(q, k, positions, spec.rope_theta)
@@ -148,8 +154,9 @@ def _decoder_stack(
         o = matmul(attn.reshape(T, Hq * D), lp["wo"])
         # --- MLP block (fused add+norm, reference layernorm.py:52-80) ---
         normed2, h = add_rms_norm(o, h, lp["post_ln"], spec.rms_eps)
-        gate_up = matmul(normed2, lp["w_gate_up"])
-        mlp = matmul(silu_and_mul(gate_up), lp["w_down"])
+        gate = matmul(normed2, lp["w_gate"])
+        up = matmul(normed2, lp["w_up"])
+        mlp = matmul(swiglu(gate, up), lp["w_down"])
         h = h + mlp
         return (h, cache), None
 

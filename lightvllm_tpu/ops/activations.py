@@ -14,8 +14,13 @@ import jax
 import jax.numpy as jnp
 
 
-def silu_and_mul(gate_up: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU: SiLU(gate) * up where gate_up = concat([gate, up], axis=-1)."""
-    gate, up = jnp.split(gate_up, 2, axis=-1)
+def swiglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU: SiLU(gate) * up, fp32 math."""
     gf = gate.astype(jnp.float32)
-    return (gf * jax.nn.sigmoid(gf) * up.astype(jnp.float32)).astype(gate_up.dtype)
+    return (gf * jax.nn.sigmoid(gf) * up.astype(jnp.float32)).astype(gate.dtype)
+
+
+def silu_and_mul(gate_up: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU over a packed [gate | up] tensor (reference activation.py:7)."""
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return swiglu(gate, up)

@@ -2,10 +2,11 @@
 
 Parity: reference `lightvllm/utils/loader.py:23-91` (streams *.safetensors,
 routes packed q/k/v and gate/up weights through per-param shard loaders via
-packed_modules_mapping). Here the fusion happens once at load: q/k/v weights
-concatenate into wqkv, gate/up into w_gate_up, HF (out, in) layouts transpose
-to (in, out), and per-layer tensors stack along a leading L axis for the
-scan-based decoder. Optional weight-only quantization is applied per layer.
+packed_modules_mapping). Here q/k/v and gate/up stay separate tensors —
+packed layouts misalign with contiguous GSPMD shards on the "model" axis —
+HF (out, in) layouts transpose to (in, out), and per-layer tensors stack
+along a leading L axis for the scan-based decoder. Optional weight-only
+quantization is applied per layer at load.
 """
 
 from __future__ import annotations
@@ -74,17 +75,14 @@ def load_qwen3_params(
         "embed": get("model.embed_tokens.weight"),
         "layers": {
             "input_ln": stack(lambda i: get(p.format(i, "input_layernorm.weight"))),
-            "wqkv": maybe_quant(
-                stack(
-                    lambda i: jnp.concatenate(
-                        [
-                            linear(p.format(i, "self_attn.q_proj.weight")),
-                            linear(p.format(i, "self_attn.k_proj.weight")),
-                            linear(p.format(i, "self_attn.v_proj.weight")),
-                        ],
-                        axis=1,
-                    )
-                )
+            "wq": maybe_quant(
+                stack(lambda i: linear(p.format(i, "self_attn.q_proj.weight")))
+            ),
+            "wk": maybe_quant(
+                stack(lambda i: linear(p.format(i, "self_attn.k_proj.weight")))
+            ),
+            "wv": maybe_quant(
+                stack(lambda i: linear(p.format(i, "self_attn.v_proj.weight")))
             ),
             "q_norm": stack(lambda i: get(p.format(i, "self_attn.q_norm.weight"))),
             "k_norm": stack(lambda i: get(p.format(i, "self_attn.k_norm.weight"))),
@@ -94,16 +92,11 @@ def load_qwen3_params(
             "post_ln": stack(
                 lambda i: get(p.format(i, "post_attention_layernorm.weight"))
             ),
-            "w_gate_up": maybe_quant(
-                stack(
-                    lambda i: jnp.concatenate(
-                        [
-                            linear(p.format(i, "mlp.gate_proj.weight")),
-                            linear(p.format(i, "mlp.up_proj.weight")),
-                        ],
-                        axis=1,
-                    )
-                )
+            "w_gate": maybe_quant(
+                stack(lambda i: linear(p.format(i, "mlp.gate_proj.weight")))
+            ),
+            "w_up": maybe_quant(
+                stack(lambda i: linear(p.format(i, "mlp.up_proj.weight")))
             ),
             "w_down": maybe_quant(
                 stack(lambda i: linear(p.format(i, "mlp.down_proj.weight")))

@@ -8,9 +8,15 @@ suite against the real chip instead.
 import os
 
 if not os.environ.get("RUN_ON_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Overwrite, not setdefault: the environment presets JAX_PLATFORMS=axon
+    # (the TPU tunnel), and its sitecustomize force-sets the jax config to
+    # "axon,cpu" — which would silently run "CPU" tests on the real chip.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

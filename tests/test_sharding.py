@@ -1,0 +1,97 @@
+"""Tensor-parallel sharding tests on the virtual 8-device CPU mesh.
+
+The reference has zero distributed tests (SURVEY.md §4); here TP correctness
+is asserted by comparing sharded vs single-device engine outputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lightvllm_tpu import SamplingParams
+from lightvllm_tpu.config import Config
+from lightvllm_tpu.engine.llm_engine import LLMEngine
+from lightvllm_tpu.models import qwen3
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+BS = 16
+
+
+def tiny_spec():
+    return qwen3.ModelSpec(
+        num_layers=2,
+        hidden_size=64,
+        num_q_heads=8,
+        num_kv_heads=8,
+        head_dim=16,
+        intermediate_size=128,
+        vocab_size=128,
+        rope_theta=10000.0,
+        rms_eps=1e-6,
+        tie_word_embeddings=True,
+        dtype="float32",
+    )
+
+
+def make_engine(spec, params, tp=1):
+    return LLMEngine(
+        spec=spec,
+        params=params,
+        kvcache_block_size=BS,
+        num_kvcache_blocks=64,
+        max_model_len=128,
+        max_num_seqs=4,
+        eos=127,
+        tensor_parallel_size=tp,
+    )
+
+
+@pytest.fixture(scope="module")
+def spec_and_params():
+    spec = tiny_spec()
+    params = qwen3.init_params(spec, jax.random.PRNGKey(0))
+    return spec, params
+
+
+def run_greedy(engine, prompts, n=6):
+    res = engine.generate(
+        prompts,
+        SamplingParams(temperature=0.0, max_tokens=n, ignore_eos=True),
+        use_tqdm=False,
+    )
+    return [r["token_ids"] for r in res]
+
+
+def test_tp8_matches_single_device(spec_and_params):
+    spec, params = spec_and_params
+    prompts = [[1, 5, 9, 2, 7], [3, 1, 4, 1, 5, 9, 2, 6], [11, 12]]
+    ref = run_greedy(make_engine(spec, params), prompts)
+    tp = run_greedy(make_engine(spec, params, tp=8), prompts)
+    assert tp == ref
+
+
+def test_tp8_weights_are_sharded(spec_and_params):
+    spec, params = spec_and_params
+    engine = make_engine(spec, params, tp=8)
+    wq = engine.model_runner.params["layers"]["wq"]
+    shard_shapes = {s.data.shape for s in wq.addressable_shards}
+    # (L, E, Hq*D) = (2, 64, 128) split 8-way on out-features.
+    assert shard_shapes == {(2, 64, 128 // 8)}
+    k = engine.model_runner.cache.k
+    kshapes = {s.data.shape for s in k.addressable_shards}
+    # (L, Hkv, slots, D) with Hkv=8 split 8-way.
+    assert kshapes == {(2, 1, 64 * BS, 16)}
+
+
+def test_tp2_quantized_int8(spec_and_params):
+    spec, _ = spec_and_params
+    params_q = qwen3.init_params(
+        spec, jax.random.PRNGKey(0), quantization="int8"
+    )
+    ref = run_greedy(make_engine(spec, params_q), [[1, 5, 9, 2, 7]])
+    tp = run_greedy(make_engine(spec, params_q, tp=2), [[1, 5, 9, 2, 7]])
+    assert tp == ref
