@@ -32,6 +32,7 @@ class Config:
     data_parallel_size: int = 1
     # --- compilation ---
     enforce_eager: bool = False  # True disables jit (debugging only)
+    attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     decode_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
     prefill_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
     # --- model config (filled from HF config) ---
@@ -47,6 +48,7 @@ class Config:
         assert self.data_parallel_size >= 1
         assert self.quantization in (None, "int8", "int4")
         assert self.kv_cache_dtype in ("auto", "fp8")
+        assert self.attention_impl in ("auto", "jnp", "pallas")
         if self.model:
             if self.hf_config is None:
                 from transformers import AutoConfig

@@ -104,6 +104,14 @@ class ModelRunner:
             )
 
         bs = self.block_size
+        attn_impl = config.attention_impl
+        if attn_impl == "auto":
+            # The Pallas kernels target real TPUs (the CPU test backend uses
+            # the jnp oracle path) and need lane-aligned head_dim.
+            kernel_ok = spec.head_dim % 128 == 0
+            on_tpu = jax.devices()[0].platform != "cpu"
+            attn_impl = "pallas" if (on_tpu and kernel_ok) else "jnp"
+        self.attn_impl = attn_impl
 
         def prefill_fn(params, token_ids, meta, cache, key):
             logits, cache = qwen3.forward_prefill(
@@ -114,7 +122,7 @@ class ModelRunner:
 
         def decode_fn(params, token_ids, meta, cache, key):
             logits, cache = qwen3.forward_decode(
-                params, spec, token_ids, meta, cache, bs
+                params, spec, token_ids, meta, cache, bs, attn_impl=attn_impl
             )
             tokens = sample(logits, meta.temperatures, key)
             return tokens, cache

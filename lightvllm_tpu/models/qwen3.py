@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from lightvllm_tpu.ops.activations import swiglu
 from lightvllm_tpu.ops.attention import (
     paged_decode_attention,
+    paged_decode_attention_pallas,
     paged_prefill_attention,
 )
 from lightvllm_tpu.ops.kv_cache import KVCache, write_kv_layer
@@ -215,10 +216,15 @@ def forward_decode(
     meta: DecodeMeta,
     cache: KVCache,
     block_size: int,
+    attn_impl: str = "jnp",  # "jnp" | "pallas"
 ) -> tuple[jnp.ndarray, KVCache]:
     scale = spec.head_dim**-0.5
 
     def attn_fn(q, cache, layer):
+        if attn_impl == "pallas":
+            return paged_decode_attention_pallas(
+                q, cache, layer, meta, block_size, scale
+            )
         return paged_decode_attention(q, cache, layer, meta, block_size, scale)
 
     h, cache = _decoder_stack(

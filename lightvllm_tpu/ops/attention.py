@@ -83,6 +83,36 @@ def paged_prefill_attention(
     return out.astype(q.dtype)
 
 
+def paged_decode_attention_pallas(
+    q: jnp.ndarray,  # (B, Hq, D), already rope'd
+    cache: KVCache,
+    layer: jnp.ndarray,
+    meta: DecodeMeta,
+    block_size: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas flash-decode over HBM pages (ops/pallas/decode_attention.py).
+
+    FP8 caches fall back to the jnp path until the kernel grows fused
+    scale loads."""
+    if cache.is_fp8:
+        return paged_decode_attention(q, cache, layer, meta, block_size, scale)
+    from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
+
+    return paged_flash_decode(
+        q,
+        cache.k,
+        cache.v,
+        meta.block_tables,
+        meta.ctx_lens,
+        layer,
+        block_size=block_size,
+        scale=scale,
+        interpret=interpret,
+    )
+
+
 def paged_decode_attention(
     q: jnp.ndarray,  # (B, Hq, D), already rope'd
     cache: KVCache,

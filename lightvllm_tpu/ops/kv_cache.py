@@ -3,11 +3,17 @@
 Parity: reference `lightvllm/layers/attention.py:9-108` (Triton scatter
 writing token i's K/V to cache rows slot_mapping[i]). TPU-first: the cache is
 an explicit pytree threaded through the jitted step (donated), laid out
-head-major (L, Hkv, num_slots, D) so KV heads shard on the "model" mesh axis
-and a (page, head) tile is contiguous for kernel DMA. Padding tokens carry an
-out-of-range slot and are dropped by the scatter.
+page-major (L, NB, Hkv, BSZ, D) so that
 
-Optional FP8 (e4m3) storage keeps per-(slot, head) scales alongside.
+  - one page is one contiguous HBM region: the decode kernel fetches all KV
+    heads of a page with a single 128KB-class DMA;
+  - within a fetched page, per-head tiles (BSZ, D) are contiguous — head
+    slicing in VMEM is block addressing, not a lane/sublane relayout;
+  - the KV-head axis shards on the "model" mesh axis (co-located with the
+    query heads that attend to it).
+
+Padding tokens carry an out-of-range slot and are dropped by the scatter.
+Optional FP8 (e4m3) storage keeps per-(head, slot) scales alongside.
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ PAD_SLOT = jnp.iinfo(jnp.int32).max
 )
 @dataclass
 class KVCache:
-    """k/v: (L, Hkv, num_slots, D). Scales (L, Hkv, num_slots) iff fp8."""
+    """k/v: (L, NB, Hkv, BSZ, D). Scales (L, NB, Hkv, BSZ) iff fp8."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -40,8 +46,12 @@ class KVCache:
     v_scale: Optional[jnp.ndarray]
 
     @property
-    def num_slots(self) -> int:
-        return self.k.shape[2]
+    def block_size(self) -> int:
+        return self.k.shape[3]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.k.shape[1]
 
     @property
     def is_fp8(self) -> bool:
@@ -57,14 +67,13 @@ def alloc_kv_cache(
     dtype,
     fp8: bool,
 ) -> KVCache:
-    slots = num_blocks * block_size
     kv_dtype = FP8_DTYPE if fp8 else dtype
-    shape = (num_layers, num_kv_heads, slots, head_dim)
+    shape = (num_layers, num_blocks, num_kv_heads, block_size, head_dim)
     k = jnp.zeros(shape, kv_dtype)
     v = jnp.zeros(shape, kv_dtype)
     if fp8:
-        ks = jnp.ones(shape[:3], jnp.float32)
-        vs = jnp.ones(shape[:3], jnp.float32)
+        ks = jnp.ones(shape[:4], jnp.float32)
+        vs = jnp.ones(shape[:4], jnp.float32)
     else:
         ks = vs = None
     return KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
@@ -85,21 +94,24 @@ def write_kv_layer(
     layer: jnp.ndarray,  # scalar int32 (traced inside scan)
     k_new: jnp.ndarray,  # (T, Hkv, D)
     v_new: jnp.ndarray,
-    slot_mapping: jnp.ndarray,  # (T,) int32; PAD_SLOT entries dropped
+    slot_mapping: jnp.ndarray,  # (T,) int32 = block*BSZ + offset; PAD dropped
 ) -> KVCache:
-    # NB: `layer` is a traced scalar, so it and slot_mapping are advanced
-    # indices separated by the head slice -> the indexed result is
-    # (T, Hkv, ...) with the advanced (token) dims leading.
+    bs = cache.block_size
+    blocks = slot_mapping // bs
+    offsets = slot_mapping % bs
+    # Indexing [layer, blocks, :, offsets]: layer/blocks/offsets are advanced
+    # indices separated by the head slice -> indexed shape (T, Hkv, ...) with
+    # the advanced (token) dims leading, matching k_new's layout.
     if cache.is_fp8:
         k_q, k_s = quantize_kv_fp8(k_new)
         v_q, v_s = quantize_kv_fp8(v_new)
-        k_scale = cache.k_scale.at[layer, :, slot_mapping].set(k_s, mode="drop")
-        v_scale = cache.v_scale.at[layer, :, slot_mapping].set(v_s, mode="drop")
+        k_scale = cache.k_scale.at[layer, blocks, :, offsets].set(k_s, mode="drop")
+        v_scale = cache.v_scale.at[layer, blocks, :, offsets].set(v_s, mode="drop")
     else:
         k_q, v_q = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
         k_scale, v_scale = cache.k_scale, cache.v_scale
-    k = cache.k.at[layer, :, slot_mapping].set(k_q, mode="drop")
-    v = cache.v.at[layer, :, slot_mapping].set(v_q, mode="drop")
+    k = cache.k.at[layer, blocks, :, offsets].set(k_q, mode="drop")
+    v = cache.v.at[layer, blocks, :, offsets].set(v_q, mode="drop")
     return KVCache(k=k, v=v, k_scale=k_scale, v_scale=v_scale)
 
 
@@ -114,18 +126,15 @@ def gather_kv_for_seqs(
     (B, NB*block_size, Hkv, D) in out_dtype. jnp reference path; the Pallas
     decode kernel reads pages directly from HBM instead."""
     B, NB = block_tables.shape
-    slot_ids = (
-        block_tables[:, :, None] * block_size
-        + jnp.arange(block_size, dtype=jnp.int32)[None, None, :]
-    ).reshape(B, NB * block_size)
 
     def gather_one(data, scale):
-        g = data[layer][:, slot_ids]  # (Hkv, B, S, D)
+        g = data[layer][block_tables]  # (B, NB, Hkv, BSZ, D)
         g = g.astype(jnp.float32)
         if scale is not None:
-            s = scale[layer][:, slot_ids]  # (Hkv, B, S)
+            s = scale[layer][block_tables]  # (B, NB, Hkv, BSZ)
             g = g * s[..., None]
-        return g.transpose(1, 2, 0, 3).astype(out_dtype)  # (B, S, Hkv, D)
+        g = g.transpose(0, 1, 3, 2, 4)  # (B, NB, BSZ, Hkv, D)
+        return g.reshape(B, NB * block_size, *g.shape[3:]).astype(out_dtype)
 
     k = gather_one(cache.k, cache.k_scale)
     v = gather_one(cache.v, cache.v_scale)

@@ -1,0 +1,273 @@
+"""Pallas paged flash-decode kernel.
+
+Parity: replaces the reference's external `flash_attn_with_kvcache` call
+(`lightvllm/layers/attention.py:172-175`) — one query token per sequence
+attending over a block-table-paged KV cache.
+
+Design (TPU-first, see /opt/skills/guides/boom_attention_tricks.md §8-13):
+  - KV pages are page-major (NB, Hkv, BSZ, D): one page = one contiguous
+    HBM region = ONE async DMA for all heads (measured: one-DMA-per-
+    (head,page) designs were latency-bound at ~56-126 GB/s).
+  - grid (B, num_chunks): each step gathers pages_per_chunk pages with
+    concurrent DMAs into double-buffered VMEM and computes all KV heads'
+    online-softmax updates; the next chunk's DMAs are issued first
+    (double buffering hides HBM latency behind compute).
+  - online softmax in fp32 with running (m, l) VMEM scratch; output block
+    revisits across the chunk axis and is normalized on the sequence's
+    last real chunk.
+  - GQA: per KV head, its G = Hq/Hkv query heads form one (G, D) tile
+    (padded to the fp32 sublane tile 8). Head slices of a fetched page are
+    contiguous (BSZ, D) tiles — no relayout.
+  - chunks fully beyond a sequence's context are skipped (no DMA, no
+    FLOPs). Callers must clamp padding rows' ctx_lens to >= 1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _chunk_copies(pages_hbm, buf, sem, tables_ref, layer, b, chunk, buf_idx, ppcb):
+    """One whole-page DMA per page in the chunk (all heads at once).
+
+    pages_hbm is the full (L, NBtot, Hkv, BSZ, D) cache: slicing the layer
+    here (instead of passing cache[layer]) keeps the per-layer dynamic slice
+    out of XLA, which would otherwise materialize a copy of the layer's
+    pages on every scan iteration.
+    """
+    return [
+        pltpu.make_async_copy(
+            pages_hbm.at[layer, tables_ref[b, chunk * ppcb + j]],
+            buf.at[buf_idx, j],
+            sem.at[buf_idx],
+        )
+        for j in range(ppcb)
+    ]
+
+
+def _decode_kernel(
+    # scalar prefetch
+    tables_ref,  # (B, NB_padded) int32
+    ctx_lens_ref,  # (B,) int32
+    layer_ref,  # (1,) int32
+    # inputs
+    q_ref,  # (1, Hkv, Gp, D) VMEM
+    k_hbm,  # (L, NBtot, Hkv, BSZ, D) ANY (HBM)
+    v_hbm,
+    # outputs
+    o_ref,  # (1, Hkv, Gp, D) f32 VMEM
+    # scratch
+    m_ref,  # (Hkv, Gp, 128) f32
+    l_ref,  # (Hkv, Gp, 128) f32
+    k_buf,  # (2, ppcb, Hkv, BSZ, D)
+    v_buf,
+    k_sem,  # DMA sems (2,)
+    v_sem,
+    buf_idx_ref,  # SMEM (1,)
+    init_ref,  # SMEM (1,)
+    *,
+    block_size: int,
+    ppcb: int,
+    scale: float,
+    num_kv_heads: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    layer = layer_ref[0]
+    num_b = pl.num_programs(0)
+    num_chunks = pl.num_programs(1)
+    chunk_tokens = ppcb * block_size
+    ctx = ctx_lens_ref[b]
+
+    def chunk_valid(b_, i_):
+        return i_ * chunk_tokens < ctx_lens_ref[b_]
+
+    # SMEM scratch is uninitialized: zero the init flag on the very first
+    # grid instance (always valid since every ctx >= 1).
+    @pl.when((b == 0) & (i == 0))
+    def _zero_flags():
+        init_ref[0] = 0
+
+    @pl.when(chunk_valid(b, i))
+    def _body():
+        @pl.when(i == 0)
+        def _init_seq():
+            m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        # First valid instance: prime the pipeline with our own chunk.
+        @pl.when(init_ref[0] == 0)
+        def _first():
+            init_ref[0] = 1
+            buf_idx_ref[0] = 0
+            for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b, i, 0, ppcb):
+                c.start()
+            for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b, i, 0, ppcb):
+                c.start()
+
+        buf_idx = buf_idx_ref[0]
+
+        # Lookahead: chunk 0 is valid for every sequence (ctx >= 1), so the
+        # next valid chunk is i+1 (same seq) or chunk 0 of seq b+1.
+        same_seq = chunk_valid(b, i + 1) & (i + 1 < num_chunks)
+        next_b = jnp.where(same_seq, b, b + 1)
+        next_i = jnp.where(same_seq, i, -1) + 1  # i+1 or 0
+        has_next = same_seq | (b + 1 < num_b)
+
+        @pl.when(has_next)
+        def _prefetch():
+            nxt = 1 - buf_idx
+            for c in _chunk_copies(
+                k_hbm, k_buf, k_sem, tables_ref, layer, next_b, next_i, nxt, ppcb
+            ):
+                c.start()
+            for c in _chunk_copies(
+                v_hbm, v_buf, v_sem, tables_ref, layer, next_b, next_i, nxt, ppcb
+            ):
+                c.start()
+            buf_idx_ref[0] = nxt
+
+        # Wait for this chunk's K pages. All heads fold into ONE matmul pair:
+        # Q_all (Hkv*Gp, D) @ K_chunk (D, ppcb*Hkv*BSZ) computes every
+        # (q-head, kv-head) pair; cross-head scores are masked to -inf so
+        # their softmax weight is exactly 0 and a single P @ V_chunk matmul
+        # yields correct per-head outputs. Decode is HBM-bound, so the extra
+        # MXU work is cheap — and under tensor parallelism the local Hkv
+        # (the waste factor) shrinks toward 1.
+        for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b, i, buf_idx, ppcb):
+            c.wait()
+
+        Hkv, Gp = q_ref.shape[1], q_ref.shape[2]
+        HG = Hkv * Gp
+        Tbig = ppcb * Hkv * block_size
+        q = (q_ref[0].astype(jnp.float32) * scale).reshape(HG, -1)
+        k = k_buf[buf_idx].reshape(Tbig, -1)  # (Tbig, D)
+        s = jax.lax.dot_general(
+            q.astype(k.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (HG, Tbig)
+
+        row_head = jax.lax.broadcasted_iota(jnp.int32, (HG, Tbig), 0) // Gp
+        col = jax.lax.broadcasted_iota(jnp.int32, (HG, Tbig), 1)
+        col_head = (col // block_size) % Hkv
+        pos = i * chunk_tokens + (col // (Hkv * block_size)) * block_size + col % block_size
+        s = jnp.where((row_head == col_head) & (pos < ctx), s, MASK_VALUE)
+
+        m_prev = m_ref[:, :1]  # (HG, 1)
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # (HG, Tbig); exact zeros off-head
+        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b, i, buf_idx, ppcb):
+            c.wait()
+        v = v_buf[buf_idx].reshape(Tbig, -1)  # (Tbig, D)
+        o_cur = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # (HG, D)
+        o_prev = o_ref[0].reshape(HG, -1)
+        o_ref[0] = (o_prev * alpha + o_cur).reshape(o_ref.shape[1:])
+
+        # Normalize on this sequence's last real chunk.
+        @pl.when(jnp.logical_not(same_seq))
+        def _finalize():
+            l = l_ref[:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0] = (o_ref[0].reshape(HG, -1) * l_inv).reshape(o_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "scale", "ppcb", "interpret")
+)
+def paged_flash_decode(
+    q: jnp.ndarray,  # (B, Hq, D)
+    k_pages: jnp.ndarray,  # (L, NB_total, Hkv, BSZ, D) full cache
+    v_pages: jnp.ndarray,  # (L, NB_total, Hkv, BSZ, D)
+    block_tables: jnp.ndarray,  # (B, NB) int32
+    ctx_lens: jnp.ndarray,  # (B,) int32
+    layer: jnp.ndarray | int = 0,  # scalar layer index into the cache
+    *,
+    block_size: int,
+    scale: float,
+    ppcb: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:  # (B, Hq, D) in q.dtype
+    B, Hq, D = q.shape
+    Hkv = k_pages.shape[2]
+    G = Hq // Hkv
+    Gp = max(G, 8)  # fp32 sublane tile
+    NB = block_tables.shape[1]
+    ppcb = min(ppcb, NB)
+    num_chunks = -(-NB // ppcb)
+    NB_padded = num_chunks * ppcb
+
+    # Padding rows must look like 1-token sequences (chunk 0 always valid).
+    ctx_lens = jnp.maximum(ctx_lens, 1)
+
+    # Clamp out-of-context table entries onto the sequence's page 0 so
+    # straggler DMAs of the last partial chunk stay valid and local.
+    num_pages = (ctx_lens + block_size - 1) // block_size
+    steps = jnp.arange(NB_padded, dtype=jnp.int32)[None, :]
+    padded_tables = jnp.pad(block_tables, ((0, 0), (0, NB_padded - NB)))
+    clamped_tables = jnp.where(
+        steps < num_pages[:, None], padded_tables, padded_tables[:, :1]
+    )
+
+    qg = q.reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, num_chunks),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl, ly: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl, ly: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+            pltpu.VMEM((2, ppcb, Hkv, block_size, D), k_pages.dtype),
+            pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+
+    kernel = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            block_size=block_size,
+            ppcb=ppcb,
+            scale=scale,
+            num_kv_heads=Hkv,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        # The TPU-flavored interpreter handles DMAs/semaphores on CPU.
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    out = kernel(clamped_tables, ctx_lens, layer_arr, qg, k_pages, v_pages)
+    return out[:, :, :G].reshape(B, Hq, D).astype(q.dtype)

@@ -70,9 +70,9 @@ def param_specs(params: dict) -> dict:
 
 
 def kv_cache_specs(fp8: bool) -> dict:
-    """KVCache pytree specs: (L, Hkv, slots, D) with heads on "model"."""
-    data = P(None, "model", None, None)
-    scale = P(None, "model", None) if fp8 else None
+    """KVCache pytree specs: (L, NB, Hkv, BSZ, D) with heads on "model"."""
+    data = P(None, None, "model", None, None)
+    scale = P(None, None, "model", None) if fp8 else None
     return {"k": data, "v": data, "k_scale": scale, "v_scale": scale}
 
 

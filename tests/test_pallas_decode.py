@@ -1,0 +1,98 @@
+"""Paged flash-decode Pallas kernel vs the jnp oracle.
+
+Pattern per reference test suite (kernel vs reference implementation on
+random inputs, parametrized shapes, allclose) — SURVEY.md §4 — with the
+oracle being ops/attention.py's gather-based paged attention.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightvllm_tpu.ops.attention import paged_decode_attention
+from lightvllm_tpu.ops.kv_cache import KVCache
+from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
+from lightvllm_tpu.utils.metadata import DecodeMeta
+
+
+def make_case(key, B, Hq, Hkv, D, BSZ, NB_total, ctx_lens, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, Hq, D), dtype)
+    k_pages = jax.random.normal(ks[1], (NB_total, Hkv, BSZ, D), dtype)
+    v_pages = jax.random.normal(ks[2], (NB_total, Hkv, BSZ, D), dtype)
+    NB = max((c + BSZ - 1) // BSZ for c in ctx_lens)
+    # Random non-overlapping-ish block tables.
+    rng = np.random.default_rng(0)
+    bt = rng.permutation(NB_total)[: B * NB].reshape(B, NB).astype(np.int32)
+    return q, k_pages, v_pages, jnp.asarray(bt), jnp.asarray(ctx_lens, jnp.int32)
+
+
+def oracle(q, k_pages, v_pages, bt, ctx, BSZ, scale):
+    cache = KVCache(
+        k=k_pages[None], v=v_pages[None], k_scale=None, v_scale=None
+    )
+    meta = DecodeMeta(
+        slot_mapping=jnp.zeros(q.shape[0], jnp.int32),
+        positions=ctx - 1,
+        ctx_lens=ctx,
+        block_tables=bt,
+        temperatures=jnp.zeros(q.shape[0], jnp.float32),
+    )
+    return paged_decode_attention(q, cache, jnp.int32(0), meta, BSZ, scale)
+
+
+@pytest.mark.parametrize(
+    "B,Hq,Hkv,D,BSZ,ctx_lens",
+    [
+        (4, 8, 4, 128, 16, [5, 16, 33, 48]),
+        (2, 16, 8, 128, 32, [64, 17]),
+        (3, 4, 4, 128, 16, [1, 2, 31]),  # MHA, tiny contexts
+        (1, 8, 1, 128, 16, [40]),  # MQA
+    ],
+)
+def test_decode_kernel_matches_oracle(B, Hq, Hkv, D, BSZ, ctx_lens):
+    scale = D**-0.5
+    q, kp, vp, bt, ctx = make_case(
+        jax.random.PRNGKey(1), B, Hq, Hkv, D, BSZ, 64, ctx_lens
+    )
+    want = oracle(q, kp, vp, bt, ctx, BSZ, scale)
+    got = paged_flash_decode(
+        q, kp[None], vp[None], bt, ctx, 0, block_size=BSZ, scale=scale, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_decode_kernel_padding_rows_are_finite():
+    # ctx 0 rows (batch padding) are treated as 1-token rows: finite output
+    # (discarded by the engine), never NaN, and real rows unaffected.
+    scale = 128**-0.5
+    q, kp, vp, bt, ctx = make_case(
+        jax.random.PRNGKey(2), 2, 8, 4, 128, 16, 32, [20, 0]
+    )
+    got = paged_flash_decode(
+        q, kp[None], vp[None], bt, ctx, 0, block_size=16, scale=scale, interpret=True
+    )
+    assert np.isfinite(np.asarray(got, np.float32)).all()
+    want_row0 = oracle(q, kp, vp, bt, jnp.array([20, 1], jnp.int32), 16, scale)[0]
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want_row0), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_decode_kernel_bf16_io():
+    scale = 128**-0.5
+    q, kp, vp, bt, ctx = make_case(
+        jax.random.PRNGKey(3), 2, 8, 4, 128, 16, 32, [30, 47], dtype=jnp.bfloat16
+    )
+    want = oracle(q, kp, vp, bt, ctx, 16, scale)
+    got = paged_flash_decode(
+        q, kp[None], vp[None], bt, ctx, 0, block_size=16, scale=scale, interpret=True
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+    )

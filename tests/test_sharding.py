@@ -83,8 +83,8 @@ def test_tp8_weights_are_sharded(spec_and_params):
     assert shard_shapes == {(2, 64, 128 // 8)}
     k = engine.model_runner.cache.k
     kshapes = {s.data.shape for s in k.addressable_shards}
-    # (L, Hkv, slots, D) with Hkv=8 split 8-way.
-    assert kshapes == {(2, 1, 64 * BS, 16)}
+    # (L, NB, Hkv, BSZ, D) with Hkv=8 split 8-way.
+    assert kshapes == {(2, 64, 1, BS, 16)}
 
 
 def test_tp2_quantized_int8(spec_and_params):
