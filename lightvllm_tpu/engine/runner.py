@@ -115,7 +115,7 @@ class ModelRunner:
 
         def prefill_fn(params, token_ids, meta, cache, key):
             logits, cache = qwen3.forward_prefill(
-                params, spec, token_ids, meta, cache, bs
+                params, spec, token_ids, meta, cache, bs, attn_impl=attn_impl
             )
             tokens = sample(logits, meta.temperatures, key)
             return tokens, cache

@@ -27,6 +27,7 @@ from lightvllm_tpu.ops.attention import (
     paged_decode_attention,
     paged_decode_attention_pallas,
     paged_prefill_attention,
+    paged_prefill_attention_pallas,
 )
 from lightvllm_tpu.ops.kv_cache import KVCache, write_kv_layer
 from lightvllm_tpu.ops.norms import add_rms_norm, rms_norm
@@ -193,12 +194,17 @@ def forward_prefill(
     meta: PrefillMeta,
     cache: KVCache,
     block_size: int,
+    attn_impl: str = "jnp",  # "jnp" | "pallas"
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (last-token logits (B, V), updated cache)."""
     scale = spec.head_dim**-0.5
     positions = meta.cached_lens[meta.token_seq] + meta.token_rect_pos
 
     def attn_fn(q, cache, layer):
+        if attn_impl == "pallas":
+            return paged_prefill_attention_pallas(
+                q, cache, layer, meta, block_size, scale
+            )
         return paged_prefill_attention(q, cache, layer, meta, block_size, scale)
 
     h, cache = _decoder_stack(

@@ -83,6 +83,39 @@ def paged_prefill_attention(
     return out.astype(q.dtype)
 
 
+def paged_prefill_attention_pallas(
+    q: jnp.ndarray,  # (T, Hq, D) flat new tokens, already rope'd
+    cache: KVCache,
+    layer: jnp.ndarray,
+    meta: PrefillMeta,
+    block_size: int,
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:  # (T, Hq, D)
+    """Pallas varlen flash prefill over HBM pages
+    (ops/pallas/prefill_attention.py). FP8 caches fall back to the jnp path
+    until the kernel grows fused scale loads."""
+    if cache.is_fp8:
+        return paged_prefill_attention(q, cache, layer, meta, block_size, scale)
+    from lightvllm_tpu.ops.pallas.prefill_attention import paged_flash_prefill
+
+    T = q.shape[0]
+    q_rect = q[jnp.clip(meta.rect_index, 0, T - 1)]  # (B, Sq, Hq, D)
+    out_rect = paged_flash_prefill(
+        q_rect,
+        cache.k,
+        cache.v,
+        meta.block_tables,
+        meta.ctx_lens,
+        meta.cached_lens,
+        layer,
+        block_size=block_size,
+        scale=scale,
+        interpret=interpret,
+    )
+    return out_rect[meta.token_seq, meta.token_rect_pos].astype(q.dtype)
+
+
 def paged_decode_attention_pallas(
     q: jnp.ndarray,  # (B, Hq, D), already rope'd
     cache: KVCache,

@@ -27,8 +27,13 @@ import jax.numpy as jnp
 class QuantizedTensor:
     """Weight-only quantized 2D weight.
 
-    data:  (groups, group_size, out) int8 or int4; in = groups * group_size.
-    scale: (groups, 1, out) float32 symmetric scale.
+    data:  int8, (groups, group_size, out) for int8 quantization, or
+           (groups, group_size // 2, out) nibble-packed for int4 (native
+           jnp.int4 arrays break device transfer on some TPU runtimes).
+           Packing is split-half along the group axis: row j holds group
+           element j in the low nibble and element j + gs//2 in the high
+           nibble, so unpacking is two shifts + a concat (no interleave).
+    scale: (groups, 1, out) float32 symmetric per-(group, out) scale.
     """
 
     data: jnp.ndarray
@@ -36,49 +41,76 @@ class QuantizedTensor:
     bits: int
 
     @property
+    def group_size(self):
+        return self.data.shape[1] * (2 if self.bits == 4 else 1)
+
+    @property
     def shape(self):
-        g, gs, out = self.data.shape
-        return (g * gs, out)
+        return (self.in_features, self.out_features)
 
     @property
     def in_features(self):
-        return self.data.shape[0] * self.data.shape[1]
+        return self.data.shape[0] * self.group_size
 
     @property
     def out_features(self):
         return self.data.shape[2]
 
 
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """(groups, gs, out) int8 in [-8, 7] -> (groups, gs//2, out) packed."""
+    g, gs, out = q.shape
+    assert gs % 2 == 0
+    low = q[:, : gs // 2]
+    high = q[:, gs // 2 :]
+    return ((low & 0x0F) | (high << 4)).astype(jnp.int8)
+
+
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """(groups, gs//2, out) packed int8 -> (groups, gs, out) int8 [-8, 7]."""
+    low = ((packed << 4).astype(jnp.int8)) >> 4  # sign-extended low nibble
+    high = packed >> 4  # arithmetic shift sign-extends the high nibble
+    return jnp.concatenate([low, high], axis=1)
+
+
 def quantize_weight(
     w: jnp.ndarray, bits: int, group_size: int | None = None
 ) -> QuantizedTensor:
-    """Symmetric weight-only quantization of w (in, out).
+    """Symmetric weight-only quantization of w (in, out) with per-(group,
+    out-channel) scales along the contraction axis.
 
-    int8: per-output-channel scale (one group spanning all of in).
-    int4: per-(group, out) scale with groups of `group_size` along in.
+    int8 defaults to groups of 512 (finer than the classic per-out-channel
+    scale, so strictly more accurate); int4 to groups of 128. Grouping also
+    bounds the VMEM block the fused Pallas kernel dequantizes per grid step.
     """
     assert bits in (8, 4)
     in_f, out_f = w.shape
     wf = w.astype(jnp.float32)
     if bits == 8:
-        groups, gs = 1, in_f
+        gs = group_size or min(512, in_f)
         qmax = 127.0
-        qdtype = jnp.int8
     else:
         gs = group_size or 128
-        assert in_f % gs == 0, f"in_features {in_f} not divisible by group {gs}"
-        groups = in_f // gs
         qmax = 7.0
-        qdtype = jnp.int4
+    gs = min(gs, in_f)
+    assert in_f % gs == 0, f"in_features {in_f} not divisible by group {gs}"
+    groups = in_f // gs
     wg = wf.reshape(groups, gs, out_f)
     amax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)  # (groups, 1, out)
     scale = jnp.maximum(amax / qmax, 1e-8)
-    q = jnp.clip(jnp.round(wg / scale), -qmax - 1, qmax).astype(qdtype)
+    q = jnp.clip(jnp.round(wg / scale), -qmax - 1, qmax).astype(jnp.int8)
+    if bits == 4:
+        q = pack_int4(q)
     return QuantizedTensor(data=q, scale=scale, bits=bits)
 
 
+def unpacked_data(qt: QuantizedTensor) -> jnp.ndarray:
+    """(groups, gs, out) int8 view of the (possibly packed) payload."""
+    return unpack_int4(qt.data) if qt.bits == 4 else qt.data
+
+
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
-    wg = qt.data.astype(jnp.float32) * qt.scale
+    wg = unpacked_data(qt).astype(jnp.float32) * qt.scale
     return wg.reshape(qt.in_features, qt.out_features).astype(dtype)
 
 
@@ -96,10 +128,11 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     so the MXU sees dense int->bf16 matmuls and the result is exactly
     dequant(qt) @ x in fp32 accumulation.
     """
-    groups, gs, out_f = qt.data.shape
+    data = unpacked_data(qt)
+    groups, gs, out_f = data.shape
     lead = x.shape[:-1]
     xg = x.reshape(-1, groups, gs).swapaxes(0, 1)  # (groups, T, gs)
-    wg = qt.data.astype(x.dtype)  # (groups, gs, out)
+    wg = data.astype(x.dtype)  # (groups, gs, out)
     partial_out = jax.lax.dot_general(
         xg,
         wg,
@@ -111,9 +144,27 @@ def quantized_matmul(x: jnp.ndarray, qt: QuantizedTensor) -> jnp.ndarray:
     return out.astype(x.dtype).reshape(*lead, out_f)
 
 
+# Quantized-matmul implementation switch, resolved at trace time:
+#   "auto"   -> fused Pallas kernel on TPU, jnp reference path on CPU
+#   "pallas" / "jnp" -> forced (tests/benchmarks)
+QUANT_MATMUL_IMPL = "auto"
+
+
+def _use_pallas_quant(out_features: int) -> bool:
+    if QUANT_MATMUL_IMPL == "jnp":
+        return False
+    if QUANT_MATMUL_IMPL == "pallas":
+        return True
+    return jax.default_backend() != "cpu" and out_features % 128 == 0
+
+
 def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """Unified projection: w is a plain array (in, out) or QuantizedTensor."""
     if isinstance(w, QuantizedTensor):
+        if _use_pallas_quant(w.out_features):
+            from lightvllm_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
+
+            return quant_matmul_pallas(x, w.data, w.scale, bits=w.bits)
         return quantized_matmul(x, w)
     return jnp.dot(
         x, w, preferred_element_type=jnp.float32, precision=_precision(x)

@@ -1,0 +1,83 @@
+"""Weight-only quantization numerics: quantize/dequant roundtrip bounds, the
+jnp grouped matmul vs explicit dequant-then-matmul, and the fused Pallas
+dequant+matmul kernel vs the jnp path (SURVEY.md §4 kernel-vs-oracle
+pattern; the reference has no quantization at all, §2.10)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightvllm_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
+from lightvllm_tpu.ops.quantization import (
+    dequantize,
+    matmul,
+    quantize_weight,
+    quantized_matmul,
+)
+
+
+@pytest.mark.parametrize("bits,tol", [(8, 0.02), (4, 0.3)])
+def test_roundtrip_error_bounded(bits, tol):
+    w = jax.random.normal(jax.random.PRNGKey(0), (256, 128), jnp.float32)
+    qt = quantize_weight(w, bits)
+    back = dequantize(qt, jnp.float32)
+    # Symmetric quant: |err| <= scale/2 elementwise; check relative to amax.
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    assert err <= tol, err
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("T,In,Out", [(7, 256, 128), (64, 512, 384)])
+def test_grouped_matmul_matches_dequant(bits, T, In, Out):
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (T, In), jnp.float32)
+    qt = quantize_weight(jax.random.normal(kw, (In, Out), jnp.float32), bits)
+    want = x @ dequantize(qt, jnp.float32)
+    got = quantized_matmul(x, qt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize(
+    "T,In,Out",
+    [
+        (1, 256, 128),  # decode-like single row
+        (9, 1024, 256),  # odd T -> row padding
+        (130, 512, 384),  # multi T-tile, non-pow2 out tiles
+        (32, 3072, 256),  # multiple k steps (tile_k 2048)
+    ],
+)
+def test_pallas_kernel_matches_jnp(bits, T, In, Out):
+    kx, kw = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(kx, (T, In), jnp.float32)
+    qt = quantize_weight(jax.random.normal(kw, (In, Out), jnp.float32), bits)
+    want = quantized_matmul(x, qt)
+    got = quant_matmul_pallas(x, qt.data, qt.scale, bits=qt.bits, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kernel_bf16_leading_dims():
+    kx, kw = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(kx, (2, 5, 256), jnp.bfloat16)
+    qt = quantize_weight(jax.random.normal(kw, (256, 128), jnp.float32), 8)
+    got = quant_matmul_pallas(x, qt.data, qt.scale, bits=qt.bits, interpret=True)
+    assert got.shape == (2, 5, 128) and got.dtype == jnp.bfloat16
+    # bf16 inputs: compare against the exact f32 product; kernel and jnp
+    # paths round differently near zero but both track the exact result.
+    exact = np.asarray(x, np.float32) @ np.asarray(dequantize(qt, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got, np.float32), exact, rtol=0.05, atol=0.5)
+
+
+def test_matmul_dispatch_plain_and_quant():
+    kx, kw = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(kx, (4, 256), jnp.float32)
+    w = jax.random.normal(kw, (256, 128), jnp.float32)
+    plain = matmul(x, w)
+    q = matmul(x, quantize_weight(w, 8))
+    # int8 grouped quant should track the dense product closely.
+    rel = np.abs(np.asarray(q) - np.asarray(plain)).max() / np.abs(
+        np.asarray(plain)
+    ).max()
+    assert rel < 0.02, rel
