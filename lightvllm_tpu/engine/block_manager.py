@@ -20,8 +20,17 @@ from collections import deque
 
 from lightvllm_tpu.engine.sequence import Sequence
 
+try:  # native xxhash64 (lightvllm_tpu/native); falls back to blake2b below
+    from lightvllm_tpu import native as _native
+
+    _NATIVE = _native.available()
+except Exception:  # pragma: no cover - import/toolchain failure
+    _NATIVE = False
+
 
 def compute_block_hash(token_ids: list[int], prefix: int = -1) -> int:
+    if _NATIVE:
+        return _native.block_hash(token_ids, prefix)
     h = hashlib.blake2b(digest_size=8)
     if prefix != -1:
         h.update(prefix.to_bytes(8, "little", signed=False))

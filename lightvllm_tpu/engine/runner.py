@@ -20,8 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lightvllm_tpu import native
 from lightvllm_tpu.config import Config
 from lightvllm_tpu.engine.sequence import Sequence
+
+try:
+    _NATIVE = native.available()
+except Exception:  # pragma: no cover - toolchain failure
+    _NATIVE = False
 from lightvllm_tpu.models import qwen3
 from lightvllm_tpu.ops.kv_cache import (
     KVCache,
@@ -88,18 +94,13 @@ class ModelRunner:
             from jax.sharding import NamedSharding
             from lightvllm_tpu.parallel.sharding import kv_cache_specs
 
-            specs = kv_cache_specs(self.fp8_kv)
+            specs = kv_cache_specs()
             self.cache = KVCache(
                 **{
-                    f: (
-                        None
-                        if getattr(self.cache, f) is None
-                        else jax.device_put(
-                            getattr(self.cache, f),
-                            NamedSharding(self.mesh, specs[f]),
-                        )
+                    f: jax.device_put(
+                        getattr(self.cache, f), NamedSharding(self.mesh, specs[f])
                     )
-                    for f in ("k", "v", "k_scale", "v_scale")
+                    for f in ("k", "v")
                 }
             )
 
@@ -201,19 +202,21 @@ class ModelRunner:
         t = 0
         for b, seq in enumerate(seqs):
             nc = seq.num_cached_tokens
-            new = seq.token_ids[nc:]
-            n = len(new)
-            token_ids[t : t + n] = new
+            n = len(seq) - nc
+            ar = np.arange(n, dtype=np.int32)
+            token_ids[t : t + n] = seq.token_ids[nc:]
             token_seq[t : t + n] = b
-            token_rect_pos[t : t + n] = np.arange(n)
-            rect_index[b, :n] = np.arange(t, t + n)
-            for j in range(n):
-                pos = nc + j
-                blk = seq.block_table[pos // bs]
-                slot_mapping[t + j] = blk * bs + pos % bs
+            token_rect_pos[t : t + n] = ar
+            rect_index[b, :n] = t + ar
+            bt_np = np.asarray(seq.block_table, np.int32)
+            if _NATIVE:
+                slot_mapping[t : t + n] = native.fill_slots(bt_np, bs, nc, n)
+            else:
+                pos = nc + ar
+                slot_mapping[t : t + n] = bt_np[pos // bs] * bs + pos % bs
             cached_lens[b] = nc
             ctx_lens[b] = len(seq)
-            block_tables[b, : len(seq.block_table)] = seq.block_table
+            block_tables[b, : len(bt_np)] = bt_np
             last_flat_idx[b] = t + n - 1
             temperatures[b] = seq.temperature
             t += n

@@ -187,7 +187,7 @@ def compute_logits(params: dict, spec: ModelSpec, h: jnp.ndarray) -> jnp.ndarray
     )
 
 
-def forward_prefill(
+def hidden_states_prefill(
     params: dict,
     spec: ModelSpec,
     token_ids: jnp.ndarray,
@@ -196,7 +196,8 @@ def forward_prefill(
     block_size: int,
     attn_impl: str = "jnp",  # "jnp" | "pallas"
 ) -> tuple[jnp.ndarray, KVCache]:
-    """Returns (last-token logits (B, V), updated cache)."""
+    """Full per-token hidden states (T, E) — serving prefill and the
+    teacher-forced perplexity harness (evals.py) share this path."""
     scale = spec.head_dim**-0.5
     positions = meta.cached_lens[meta.token_seq] + meta.token_rect_pos
 
@@ -207,8 +208,23 @@ def forward_prefill(
             )
         return paged_prefill_attention(q, cache, layer, meta, block_size, scale)
 
-    h, cache = _decoder_stack(
+    return _decoder_stack(
         params, spec, token_ids, positions, cache, meta.slot_mapping, attn_fn
+    )
+
+
+def forward_prefill(
+    params: dict,
+    spec: ModelSpec,
+    token_ids: jnp.ndarray,
+    meta: PrefillMeta,
+    cache: KVCache,
+    block_size: int,
+    attn_impl: str = "jnp",  # "jnp" | "pallas"
+) -> tuple[jnp.ndarray, KVCache]:
+    """Returns (last-token logits (B, V), updated cache)."""
+    h, cache = hidden_states_prefill(
+        params, spec, token_ids, meta, cache, block_size, attn_impl
     )
     T = token_ids.shape[0]
     h_last = h[jnp.clip(meta.last_flat_idx, 0, T - 1)]  # (B, E)

@@ -93,10 +93,8 @@ def paged_prefill_attention_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:  # (T, Hq, D)
     """Pallas varlen flash prefill over HBM pages
-    (ops/pallas/prefill_attention.py). FP8 caches fall back to the jnp path
-    until the kernel grows fused scale loads."""
-    if cache.is_fp8:
-        return paged_prefill_attention(q, cache, layer, meta, block_size, scale)
+    (ops/pallas/prefill_attention.py). Scale-free e4m3 caches ride the same
+    kernel (pages upcast to bf16 at the MXU)."""
     from lightvllm_tpu.ops.pallas.prefill_attention import paged_flash_prefill
 
     T = q.shape[0]
@@ -126,11 +124,7 @@ def paged_decode_attention_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas flash-decode over HBM pages (ops/pallas/decode_attention.py).
-
-    FP8 caches fall back to the jnp path until the kernel grows fused
-    scale loads."""
-    if cache.is_fp8:
-        return paged_decode_attention(q, cache, layer, meta, block_size, scale)
+    Scale-free e4m3 caches ride the same kernel (bf16 at the MXU)."""
     from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
 
     return paged_flash_decode(

@@ -13,19 +13,24 @@ page-major (L, NB, Hkv, BSZ, D) so that
     query heads that attend to it).
 
 Padding tokens carry an out-of-range slot and are dropped by the scatter.
-Optional FP8 (e4m3) storage keeps per-(head, slot) scales alongside.
+
+FP8 storage is scale-free e4m3: a float format keeps per-element exponents,
+so per-token rescaling does not improve its RELATIVE precision — it only
+extends range, and RMSNorm'd K / activation V never approach e4m3's +-448.
+Scale-free halves the bookkeeping, removes all scale DMAs from the attention
+kernels, and matches what production fp8-KV serving stacks default to. The
+perplexity harness gates the end-to-end quality delta (BASELINE.md).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from lightvllm_tpu.ops.quantization import FP8_DTYPE, quantize_kv_fp8
+from lightvllm_tpu.ops.quantization import FP8_DTYPE, FP8_MAX
 
 # Slot value for padding tokens: far out of range -> scatter mode="drop".
 PAD_SLOT = jnp.iinfo(jnp.int32).max
@@ -33,17 +38,15 @@ PAD_SLOT = jnp.iinfo(jnp.int32).max
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v", "k_scale", "v_scale"],
+    data_fields=["k", "v"],
     meta_fields=[],
 )
 @dataclass
 class KVCache:
-    """k/v: (L, NB, Hkv, BSZ, D). Scales (L, NB, Hkv, BSZ) iff fp8."""
+    """k/v: (L, NB, Hkv, BSZ, D); bf16/f32, or scale-free e4m3 when fp8."""
 
     k: jnp.ndarray
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray]
-    v_scale: Optional[jnp.ndarray]
 
     @property
     def block_size(self) -> int:
@@ -55,7 +58,7 @@ class KVCache:
 
     @property
     def is_fp8(self) -> bool:
-        return self.k_scale is not None
+        return self.k.dtype == FP8_DTYPE
 
 
 def alloc_kv_cache(
@@ -69,24 +72,21 @@ def alloc_kv_cache(
 ) -> KVCache:
     kv_dtype = FP8_DTYPE if fp8 else dtype
     shape = (num_layers, num_blocks, num_kv_heads, block_size, head_dim)
-    k = jnp.zeros(shape, kv_dtype)
-    v = jnp.zeros(shape, kv_dtype)
-    if fp8:
-        ks = jnp.ones(shape[:4], jnp.float32)
-        vs = jnp.ones(shape[:4], jnp.float32)
-    else:
-        ks = vs = None
-    return KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+    return KVCache(k=jnp.zeros(shape, kv_dtype), v=jnp.zeros(shape, kv_dtype))
 
 
 def kv_cache_bytes_per_block(
     num_layers: int, num_kv_heads: int, block_size: int, head_dim: int, dtype, fp8: bool
 ) -> int:
     itemsize = 1 if fp8 else jnp.dtype(dtype).itemsize
-    per = 2 * num_layers * num_kv_heads * block_size * head_dim * itemsize
-    if fp8:
-        per += 2 * num_layers * num_kv_heads * block_size * 4  # f32 scales
-    return per
+    return 2 * num_layers * num_kv_heads * block_size * head_dim * itemsize
+
+
+def to_kv_dtype(x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Cast K/V to the cache dtype; e4m3 saturates at +-448 via clip."""
+    if dtype == FP8_DTYPE:
+        return jnp.clip(x.astype(jnp.float32), -FP8_MAX, FP8_MAX).astype(dtype)
+    return x.astype(dtype)
 
 
 def write_kv_layer(
@@ -102,17 +102,11 @@ def write_kv_layer(
     # Indexing [layer, blocks, :, offsets]: layer/blocks/offsets are advanced
     # indices separated by the head slice -> indexed shape (T, Hkv, ...) with
     # the advanced (token) dims leading, matching k_new's layout.
-    if cache.is_fp8:
-        k_q, k_s = quantize_kv_fp8(k_new)
-        v_q, v_s = quantize_kv_fp8(v_new)
-        k_scale = cache.k_scale.at[layer, blocks, :, offsets].set(k_s, mode="drop")
-        v_scale = cache.v_scale.at[layer, blocks, :, offsets].set(v_s, mode="drop")
-    else:
-        k_q, v_q = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
-        k_scale, v_scale = cache.k_scale, cache.v_scale
+    k_q = to_kv_dtype(k_new, cache.k.dtype)
+    v_q = to_kv_dtype(v_new, cache.v.dtype)
     k = cache.k.at[layer, blocks, :, offsets].set(k_q, mode="drop")
     v = cache.v.at[layer, blocks, :, offsets].set(v_q, mode="drop")
-    return KVCache(k=k, v=v, k_scale=k_scale, v_scale=v_scale)
+    return KVCache(k=k, v=v)
 
 
 def gather_kv_for_seqs(
@@ -122,20 +116,14 @@ def gather_kv_for_seqs(
     block_size: int,
     out_dtype,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather + dequantize per-sequence KV: returns (k, v) of
-    (B, NB*block_size, Hkv, D) in out_dtype. jnp reference path; the Pallas
-    decode kernel reads pages directly from HBM instead."""
+    """Gather per-sequence KV: returns (k, v) of (B, NB*block_size, Hkv, D)
+    in out_dtype. jnp reference path; the Pallas kernels read pages directly
+    from HBM instead."""
     B, NB = block_tables.shape
 
-    def gather_one(data, scale):
+    def gather_one(data):
         g = data[layer][block_tables]  # (B, NB, Hkv, BSZ, D)
-        g = g.astype(jnp.float32)
-        if scale is not None:
-            s = scale[layer][block_tables]  # (B, NB, Hkv, BSZ)
-            g = g * s[..., None]
-        g = g.transpose(0, 1, 3, 2, 4)  # (B, NB, BSZ, Hkv, D)
+        g = g.astype(jnp.float32).transpose(0, 1, 3, 2, 4)  # (B, NB, BSZ, Hkv, D)
         return g.reshape(B, NB * block_size, *g.shape[3:]).astype(out_dtype)
 
-    k = gather_one(cache.k, cache.k_scale)
-    v = gather_one(cache.v, cache.v_scale)
-    return k, v
+    return gather_one(cache.k), gather_one(cache.v)

@@ -4,7 +4,7 @@ Parity: replaces the reference's external `flash_attn_with_kvcache` call
 (`lightvllm/layers/attention.py:172-175`) — one query token per sequence
 attending over a block-table-paged KV cache.
 
-Design (TPU-first, see /opt/skills/guides/boom_attention_tricks.md §8-13):
+Design (TPU-first):
   - KV pages are page-major (NB, Hkv, BSZ, D): one page = one contiguous
     HBM region = ONE async DMA for all heads (measured: one-DMA-per-
     (head,page) designs were latency-bound at ~56-126 GB/s).
@@ -20,6 +20,9 @@ Design (TPU-first, see /opt/skills/guides/boom_attention_tricks.md §8-13):
     contiguous (BSZ, D) tiles — no relayout.
   - chunks fully beyond a sequence's context are skipped (no DMA, no
     FLOPs). Callers must clamp padding rows' ctx_lens to >= 1.
+  - FP8 KV is scale-free e4m3 (see ops/kv_cache.py): pages upcast to bf16
+    inside the MXU matmuls; no scale arrays, no extra DMAs — the kernel
+    handles it purely through the compute dtype.
 """
 
 from __future__ import annotations
@@ -32,6 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _compute_dtype(page_dtype) -> jnp.dtype:
+    """bf16 for sub-bf16 (fp8) pages, else the page dtype itself."""
+    return jnp.bfloat16 if jnp.dtype(page_dtype).itemsize < 2 else page_dtype
 
 
 def _chunk_copies(pages_hbm, buf, sem, tables_ref, layer, b, chunk, buf_idx, ppcb):
@@ -64,8 +72,8 @@ def _decode_kernel(
     # outputs
     o_ref,  # (1, Hkv, Gp, D) f32 VMEM
     # scratch
-    m_ref,  # (Hkv, Gp, 128) f32
-    l_ref,  # (Hkv, Gp, 128) f32
+    m_ref,  # (Hkv*Gp, 128) f32
+    l_ref,  # (Hkv*Gp, 128) f32
     k_buf,  # (2, ppcb, Hkv, BSZ, D)
     v_buf,
     k_sem,  # DMA sems (2,)
@@ -148,11 +156,12 @@ def _decode_kernel(
         Hkv, Gp = q_ref.shape[1], q_ref.shape[2]
         HG = Hkv * Gp
         Tbig = ppcb * Hkv * block_size
+        cd = _compute_dtype(k_buf.dtype)
         q = (q_ref[0].astype(jnp.float32) * scale).reshape(HG, -1)
         k = k_buf[buf_idx].reshape(Tbig, -1)  # (Tbig, D)
         s = jax.lax.dot_general(
-            q.astype(k.dtype),
-            k,
+            q.astype(cd),
+            k.astype(cd),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (HG, Tbig)
@@ -177,7 +186,7 @@ def _decode_kernel(
             c.wait()
         v = v_buf[buf_idx].reshape(Tbig, -1)  # (Tbig, D)
         o_cur = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(cd), v.astype(cd), preferred_element_type=jnp.float32
         )  # (HG, D)
         o_prev = o_ref[0].reshape(HG, -1)
         o_ref[0] = (o_prev * alpha + o_cur).reshape(o_ref.shape[1:])

@@ -62,7 +62,7 @@ def _prefill_kernel(
     o_ref,  # (1, Hkv, TQ*G, D) f32 VMEM
     # scratch
     m_ref,  # (Hkv, TQ*G, 128) f32
-    l_ref,  # (Hkv, TQ*G, 128) f32
+    l_ref,
     k_buf,  # (2, ppcb, Hkv, BSZ, D)
     v_buf,
     k_sem,
@@ -98,6 +98,18 @@ def _prefill_kernel(
 
     nvalid = n_valid_chunks(b, qt)
 
+    def start_chunk(b_, c_, slot):
+        for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b_, c_, slot, ppcb):
+            cp.start()
+        for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b_, c_, slot, ppcb):
+            cp.start()
+
+    def wait_chunk(b_, c_, slot):
+        for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b_, c_, slot, ppcb):
+            cp.wait()
+        for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b_, c_, slot, ppcb):
+            cp.wait()
+
     @pl.when((b == 0) & (qt == 0) & (c == 0))
     def _zero_flags():
         init_ref[0] = 0
@@ -114,10 +126,7 @@ def _prefill_kernel(
         def _prime():
             init_ref[0] = 1
             buf_idx_ref[0] = 0
-            for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b, c, 0, ppcb):
-                cp.start()
-            for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b, c, 0, ppcb):
-                cp.start()
+            start_chunk(b, c, 0)
 
         buf_idx = buf_idx_ref[0]
 
@@ -132,20 +141,10 @@ def _prefill_kernel(
         @pl.when(has_next)
         def _prefetch():
             nxt = 1 - buf_idx
-            for cp in _page_copies(
-                k_hbm, k_buf, k_sem, tables_ref, layer, next_b, next_c, nxt, ppcb
-            ):
-                cp.start()
-            for cp in _page_copies(
-                v_hbm, v_buf, v_sem, tables_ref, layer, next_b, next_c, nxt, ppcb
-            ):
-                cp.start()
+            start_chunk(next_b, next_c, nxt)
             buf_idx_ref[0] = nxt
 
-        for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b, c, buf_idx, ppcb):
-            cp.wait()
-        for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b, c, buf_idx, ppcb):
-            cp.wait()
+        wait_chunk(b, c, buf_idx)
 
         rows = tq * group
         # One causal mask serves all heads: row r is query position
@@ -162,12 +161,14 @@ def _prefill_kernel(
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
 
         is_last = jnp.logical_not(same_tile)
+        # bf16 compute for sub-bf16 (scale-free e4m3) pages.
+        cd = jnp.bfloat16 if jnp.dtype(k_buf.dtype).itemsize < 2 else k_buf.dtype
         for h in range(num_kv_heads):
             q = q_ref[0, h].astype(jnp.float32) * scale  # (rows, D)
             k = k_buf[buf_idx, :, h].reshape(chunk_tokens, -1)
             s = jax.lax.dot_general(
-                q.astype(k.dtype),
-                k,
+                q.astype(cd),
+                k.astype(cd),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (rows, chunk_tokens)
@@ -185,7 +186,7 @@ def _prefill_kernel(
 
             v = v_buf[buf_idx, :, h].reshape(chunk_tokens, -1)
             o_cur = jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                p.astype(cd), v.astype(cd), preferred_element_type=jnp.float32
             )  # (rows, D)
             o_prev = o_ref[0, h]
             o_next = o_prev * alpha + o_cur
@@ -252,18 +253,17 @@ def paged_flash_prefill(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Sqp - Sq), (0, 0), (0, 0)))
     qg = qg.reshape(B, Hkv, Sqp * G, D)
 
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(B, num_qt, num_chunks),
         in_specs=[
-            pl.BlockSpec(
-                (1, Hkv, tq * G, D), lambda b, qt, c, bt, cl, ch, ly: (b, 0, qt, 0)
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, Hkv, tq * G, D), lambda b, qt, c, *_: (b, 0, qt, 0)),
+            any_spec,
+            any_spec,
         ],
         out_specs=pl.BlockSpec(
-            (1, Hkv, tq * G, D), lambda b, qt, c, bt, cl, ch, ly: (b, 0, qt, 0)
+            (1, Hkv, tq * G, D), lambda b, qt, c, *_: (b, 0, qt, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((Hkv, tq * G, 128), jnp.float32),

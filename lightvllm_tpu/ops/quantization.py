@@ -177,9 +177,6 @@ FP8_DTYPE = jnp.float8_e4m3fn
 FP8_MAX = 448.0
 
 
-def quantize_kv_fp8(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(token, head) scaled FP8 quantization of (T, H, D) K or V."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # (T, H)
-    scale = jnp.maximum(amax / FP8_MAX, 1e-8)
-    q = (x.astype(jnp.float32) / scale[..., None]).astype(FP8_DTYPE)
-    return q, scale.astype(jnp.float32)
+# KV-cache FP8 is scale-free e4m3 (see ops/kv_cache.py for the rationale):
+# the cast helper lives in kv_cache.to_kv_dtype; only the dtype constants
+# are shared from here.

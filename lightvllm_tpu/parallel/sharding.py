@@ -69,11 +69,10 @@ def param_specs(params: dict) -> dict:
     return specs
 
 
-def kv_cache_specs(fp8: bool) -> dict:
+def kv_cache_specs() -> dict:
     """KVCache pytree specs: (L, NB, Hkv, BSZ, D) with heads on "model"."""
     data = P(None, None, "model", None, None)
-    scale = P(None, None, "model", None) if fp8 else None
-    return {"k": data, "v": data, "k_scale": scale, "v_scale": scale}
+    return {"k": data, "v": data}
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

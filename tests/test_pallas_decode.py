@@ -30,9 +30,7 @@ def make_case(key, B, Hq, Hkv, D, BSZ, NB_total, ctx_lens, dtype=jnp.float32):
 
 
 def oracle(q, k_pages, v_pages, bt, ctx, BSZ, scale):
-    cache = KVCache(
-        k=k_pages[None], v=v_pages[None], k_scale=None, v_scale=None
-    )
+    cache = KVCache(k=k_pages[None], v=v_pages[None])
     meta = DecodeMeta(
         slot_mapping=jnp.zeros(q.shape[0], jnp.int32),
         positions=ctx - 1,
@@ -80,6 +78,32 @@ def test_decode_kernel_padding_rows_are_finite():
     want_row0 = oracle(q, kp, vp, bt, jnp.array([20, 1], jnp.int32), 16, scale)[0]
     np.testing.assert_allclose(
         np.asarray(got[0]), np.asarray(want_row0), rtol=2e-5, atol=2e-5
+    )
+
+
+def _cast_pages_fp8(pages):
+    """Scale-free e4m3 cast matching ops/kv_cache.to_kv_dtype."""
+    from lightvllm_tpu.ops.kv_cache import to_kv_dtype
+    from lightvllm_tpu.ops.quantization import FP8_DTYPE
+
+    return to_kv_dtype(pages, FP8_DTYPE)
+
+
+def test_decode_kernel_fp8_kv():
+    scale = 128**-0.5
+    q, kp, vp, bt, ctx = make_case(
+        jax.random.PRNGKey(4), 3, 8, 4, 128, 16, 64, [5, 33, 48]
+    )
+    kq, vq = _cast_pages_fp8(kp), _cast_pages_fp8(vp)
+    want = oracle(q, kq, vq, bt, ctx, 16, scale)  # same fp8 data, f32 math
+    got = paged_flash_decode(
+        q, kq[None], vq[None], bt, ctx, 0, block_size=16, scale=scale,
+        interpret=True,
+    )
+    # fp8 kernel computes in bf16 vs the oracle's f32 upcast: tolerance
+    # reflects bf16 matmul rounding, not the e4m3 storage error.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
 
 

@@ -34,8 +34,6 @@ def build_case(key, Hq, Hkv, D, BSZ, NB_total, ctx_lens, cached_lens, dtype):
     cache = KVCache(
         k=jax.random.normal(ks[1], shape, dtype),
         v=jax.random.normal(ks[2], shape, dtype),
-        k_scale=None,
-        v_scale=None,
     )
     rng = np.random.default_rng(0)
     bt = rng.permutation(NB_total)[: B * NB].reshape(B, NB).astype(np.int32)
@@ -100,6 +98,23 @@ def test_prefill_kernel_small_q_tile():
         q, cache, jnp.int32(0), meta, 16, scale, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_kernel_fp8_kv():
+    from tests.test_pallas_decode import _cast_pages_fp8
+
+    scale = 128**-0.5
+    q, cache, meta = build_case(
+        jax.random.PRNGKey(5), 8, 4, 128, 16, 64, [40, 33], [32, 16], jnp.float32
+    )
+    qcache = KVCache(k=_cast_pages_fp8(cache.k), v=_cast_pages_fp8(cache.v))
+    want = paged_prefill_attention(q, qcache, jnp.int32(0), meta, 16, scale)
+    got = paged_prefill_attention_pallas(
+        q, qcache, jnp.int32(0), meta, 16, scale, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
 
 
 def test_prefill_kernel_bf16_io():
