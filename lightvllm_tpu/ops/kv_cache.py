@@ -99,13 +99,18 @@ def write_kv_layer(
     bs = cache.block_size
     blocks = slot_mapping // bs
     offsets = slot_mapping % bs
-    # Indexing [layer, blocks, :, offsets]: layer/blocks/offsets are advanced
-    # indices separated by the head slice -> indexed shape (T, Hkv, ...) with
-    # the advanced (token) dims leading, matching k_new's layout.
+    heads = jnp.arange(cache.k.shape[2], dtype=slot_mapping.dtype)
+    # Every index dim is an explicit advanced index so the scatter's update
+    # window is only (D,) — innermost in every layout. With the head dim as
+    # a slice instead (.at[layer, blocks, :, offsets]), XLA layout-assigns
+    # the scatter a token-major cache layout that conflicts with the Pallas
+    # kernels' default layout and inserts FULL-CACHE layout-conversion
+    # copies every layer (measured 25 ms/layer on a 13 GB cache).
     k_q = to_kv_dtype(k_new, cache.k.dtype)
     v_q = to_kv_dtype(v_new, cache.v.dtype)
-    k = cache.k.at[layer, blocks, :, offsets].set(k_q, mode="drop")
-    v = cache.v.at[layer, blocks, :, offsets].set(v_q, mode="drop")
+    idx = (layer, blocks[:, None], heads[None, :], offsets[:, None])
+    k = cache.k.at[idx].set(k_q, mode="drop")
+    v = cache.v.at[idx].set(v_q, mode="drop")
     return KVCache(k=k, v=v)
 
 
