@@ -33,6 +33,7 @@ def main():
     decode_steps = int(os.environ.get("BENCH_STEPS", 64))
     quant = os.environ.get("BENCH_QUANT") or None  # int8 | int4
     kv = os.environ.get("BENCH_KV", "auto")  # auto | fp8
+    window = cfg_window = int(os.environ.get("BENCH_WINDOW", 8))
 
     spec = qwen3.ModelSpec(
         num_layers=28,
@@ -49,6 +50,7 @@ def main():
     )
     params = qwen3.init_params(spec, jax.random.PRNGKey(0), quantization=quant)
     config = Config(
+        decode_window=window,
         max_num_seqs=max(batch, 8),
         max_model_len=2048,
         max_num_batched_tokens=max(4096, batch * prompt_len),
@@ -67,19 +69,19 @@ def main():
             Sequence(
                 toks,
                 SamplingParams(
-                    temperature=0.0, max_tokens=decode_steps + 8, ignore_eos=True
+                    temperature=0.0, max_tokens=decode_steps * window + 16, ignore_eos=True
                 ),
                 block_size=config.kvcache_block_size,
             )
         )
 
-    # Prefill (may take several scheduler steps) + warmup decode steps.
+    # Prefill (may take several scheduler steps) + warmup decode window.
     prefill_s = 0.0
     prefill_tokens = 0
     while True:
-        seqs, is_prefill = sched.schedule()
+        seqs, is_prefill, window = sched.schedule()
         t0 = time.perf_counter()
-        tokens = runner.run(seqs, is_prefill)
+        tokens = runner.run(seqs, is_prefill, window)
         jax.block_until_ready(runner.cache.k)
         dt = time.perf_counter() - t0
         sched.postprocess(seqs, tokens)
@@ -87,23 +89,24 @@ def main():
             prefill_s += dt
             prefill_tokens += sum(len(s) for s in seqs)
         else:
-            break  # first decode step done (compiled)
+            break  # first decode window done (compiled)
 
     # Timed decode.
     t0 = time.perf_counter()
     done = 0
     for _ in range(decode_steps):
-        seqs, is_prefill = sched.schedule()
+        if sched.is_finished():
+            break
+        seqs, is_prefill, window = sched.schedule()
         assert not is_prefill
-        tokens = runner.run(seqs, is_prefill)
-        sched.postprocess(seqs, tokens)
-        done += len(seqs)
+        tokens = runner.run(seqs, is_prefill, window)
+        done += sched.postprocess(seqs, tokens)
     jax.block_until_ready(runner.cache.k)
     decode_s = time.perf_counter() - t0
 
     tok_per_s = done / decode_s
     result = {
-        "metric": f"decode throughput Qwen3-0.6B {quant or 'bf16'} kv={kv} b{batch} (1 chip)",
+        "metric": f"decode throughput Qwen3-0.6B {quant or 'bf16'} kv={kv} b{batch} w{cfg_window} (1 chip)",
         "value": round(tok_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_per_s / NORTH_STAR_TOK_S, 3),

@@ -32,6 +32,7 @@ class Config:
     data_parallel_size: int = 1
     # --- compilation ---
     enforce_eager: bool = False  # True disables jit (debugging only)
+    decode_window: int = 8  # decode steps fused per device dispatch
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     decode_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
     prefill_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two

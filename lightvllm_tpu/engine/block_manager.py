@@ -151,32 +151,39 @@ class BlockManager:
         seq.num_cached_tokens = 0
         seq.block_table.clear()
 
-    def can_append(self, seq: Sequence) -> bool:
-        needs_new_block = len(seq) % self.block_size == 1
-        return len(self.free_block_ids) >= int(needs_new_block)
+    def blocks_needed_for_append(self, seq: Sequence, n: int) -> int:
+        """Blocks that must be added so positions len-1 .. len-2+n (the KV
+        slots an n-step decode window writes) all have a physical page."""
+        total = (len(seq) - 2 + n) // self.block_size + 1
+        return max(0, total - len(seq.block_table))
 
-    def may_append(self, seq: Sequence) -> None:
-        """Prepare block space for the KV slot of position len(seq)-1.
+    def can_append(self, seq: Sequence, n: int = 1) -> bool:
+        return len(self.free_block_ids) >= self.blocks_needed_for_append(seq, n)
 
-        Called at decode schedule time, after postprocess appended the
-        previously sampled token.
+    def may_append(self, seq: Sequence, n: int = 1) -> None:
+        """Decode schedule-time bookkeeping for an n-step window.
+
+        1. Chain-register every token-complete block that filled during the
+           previous window. Registration MUST happen at schedule time, not
+           at postprocess: a block becomes prefix-hittable the moment its
+           hash is registered, and its last KV row is only guaranteed
+           written once the run following this schedule completes — any
+           prefill that could hit it runs strictly later (same ordering the
+           reference relies on, scheduler.py:116 / block_manager.py:201).
+        2. Pre-allocate pages so positions len-1 .. len-2+n (the KV slots
+           this window writes) all have physical blocks.
         """
-        block_table = seq.block_table
-        last_block = self.blocks[block_table[-1]]
-        rem = len(seq) % self.block_size
-        if rem == 1:
-            # Previous block just filled; new token starts a fresh block.
-            assert last_block.hash != -1
+        full_blocks = len(seq) // self.block_size
+        for idx in range(full_blocks):
+            block = self.blocks[seq.block_table[idx]]
+            if block.hash != -1:
+                continue
+            token_ids = seq.get_token_ids_of_block(idx)
+            prefix = self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else -1
+            h = compute_block_hash(token_ids, prefix)
+            block.update(h, token_ids)
+            self.hash_to_block_id[h] = block.block_id
+        for _ in range(self.blocks_needed_for_append(seq, n)):
             block_id = self.free_block_ids[0]
             self._allocate_block(block_id)
-            block_table.append(block_id)
-        elif rem == 0:
-            # This token fills the last block: register its chained hash.
-            assert last_block.hash == -1
-            token_ids = seq.get_token_ids_of_block(seq.num_blocks - 1)
-            prefix = self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
-            h = compute_block_hash(token_ids, prefix)
-            last_block.update(h, token_ids)
-            self.hash_to_block_id[h] = last_block.block_id
-        else:
-            assert last_block.hash == -1
+            seq.block_table.append(block_id)

@@ -84,15 +84,15 @@ class LLMEngine:
         return seq.seq_id
 
     def step(self) -> tuple[list[tuple[int, list[int]]], int, bool]:
-        """Run one engine step.
+        """Run one engine step (a prefill batch, or a fused decode window).
 
         Returns (finished [(seq_id, completion_token_ids)], num_tokens
         processed, is_prefill).
         """
         t0 = time.perf_counter()
-        seqs, is_prefill = self.scheduler.schedule()
-        token_ids = self.model_runner.run(seqs, is_prefill)
-        self.scheduler.postprocess(seqs, token_ids)
+        seqs, is_prefill, window = self.scheduler.schedule()
+        token_ids = self.model_runner.run(seqs, is_prefill, window)
+        appended = self.scheduler.postprocess(seqs, token_ids)
         finished = [
             (s.seq_id, s.completion_token_ids) for s in seqs if s.is_finished
         ]
@@ -101,7 +101,7 @@ class LLMEngine:
             self._stats["prefill_tokens"] += n
             self._stats["prefill_s"] += time.perf_counter() - t0
         else:
-            n = len(seqs)
+            n = appended
             self._stats["decode_tokens"] += n
             self._stats["decode_s"] += time.perf_counter() - t0
         return finished, n, is_prefill

@@ -121,19 +121,40 @@ class ModelRunner:
             tokens = sample(logits, meta.temperatures, key)
             return tokens, cache
 
-        def decode_fn(params, token_ids, meta, cache, key):
-            logits, cache = qwen3.forward_decode(
-                params, spec, token_ids, meta, cache, bs, attn_impl=attn_impl
+        def decode_fn(params, token_ids, meta, cache, key, window):
+            """Fused n-step decode: the sampled-token feedback loop stays on
+            device for `window` steps (TPU analog of CUDA-graph replay,
+            SURVEY.md §2.8, amortizing the host dispatch + tunnel RTT)."""
+
+            def step(carry, s):
+                tokens, cache = carry
+                stepmeta = DecodeMeta(
+                    positions=meta.positions + s,
+                    ctx_lens=meta.ctx_lens + s,
+                    block_tables=meta.block_tables,
+                    temperatures=meta.temperatures,
+                )
+                logits, cache = qwen3.forward_decode(
+                    params, spec, tokens, stepmeta, cache, bs, attn_impl=attn_impl
+                )
+                nxt = sample(
+                    logits, meta.temperatures, jax.random.fold_in(key, s)
+                )
+                return (nxt, cache), nxt
+
+            (_, cache), toks = jax.lax.scan(
+                step, (token_ids, cache), jnp.arange(window, dtype=jnp.int32)
             )
-            tokens = sample(logits, meta.temperatures, key)
-            return tokens, cache
+            return toks, cache  # (window, B)
 
         if config.enforce_eager:
             self._prefill = prefill_fn
             self._decode = decode_fn
         else:
             self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
-            self._decode = jax.jit(decode_fn, donate_argnums=(3,))
+            self._decode = jax.jit(
+                decode_fn, donate_argnums=(3,), static_argnums=(5,)
+            )
 
         # Step statistics (SURVEY.md §5: structured per-step metrics).
         self.last_step_stats: dict = {}
@@ -235,7 +256,6 @@ class ModelRunner:
         return jnp.asarray(token_ids), meta
 
     def prepare_decode(self, seqs: list[Sequence]) -> tuple[np.ndarray, DecodeMeta]:
-        bs = self.block_size
         B = bucket(len(seqs), minimum=8, cap=bucket(self.config.max_num_seqs, 8))
         NB = bucket(
             max(len(s.block_table) for s in seqs),
@@ -243,22 +263,18 @@ class ModelRunner:
             cap=self.config.max_blocks_per_seq,
         )
         token_ids = np.zeros(B, np.int32)
-        slot_mapping = np.full(B, PAD_SLOT_NP, np.int32)
-        positions = np.zeros(B, np.int32)
+        # Padding rows keep strongly negative positions across any window.
+        positions = np.full(B, -(1 << 30), np.int32)
         ctx_lens = np.zeros(B, np.int32)
         block_tables = np.zeros((B, NB), np.int32)
         temperatures = np.zeros(B, np.float32)
         for b, seq in enumerate(seqs):
             token_ids[b] = seq.last_token
-            pos = len(seq) - 1
-            blk = seq.block_table[pos // bs]
-            slot_mapping[b] = blk * bs + pos % bs
-            positions[b] = pos
+            positions[b] = len(seq) - 1
             ctx_lens[b] = len(seq)
             block_tables[b, : len(seq.block_table)] = seq.block_table
             temperatures[b] = seq.temperature
         meta = DecodeMeta(
-            slot_mapping=jnp.asarray(slot_mapping),
             positions=jnp.asarray(positions),
             ctx_lens=jnp.asarray(ctx_lens),
             block_tables=jnp.asarray(block_tables),
@@ -268,7 +284,9 @@ class ModelRunner:
 
     # ---------------- step ----------------
 
-    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+    def run(self, seqs: list[Sequence], is_prefill: bool, window: int = 1):
+        """Prefill: returns (B,) sampled tokens. Decode: returns
+        (window, B) sampled tokens (list of lists)."""
         t0 = time.perf_counter()
         self._key, step_key = jax.random.split(self._key)
         if is_prefill:
@@ -276,15 +294,17 @@ class ModelRunner:
             tokens, self.cache = self._prefill(
                 self.params, token_ids, meta, self.cache, step_key
             )
+            out = np.asarray(tokens)[: len(seqs)].tolist()
         else:
             token_ids, meta = self.prepare_decode(seqs)
             tokens, self.cache = self._decode(
-                self.params, token_ids, meta, self.cache, step_key
+                self.params, token_ids, meta, self.cache, step_key, window
             )
-        out = np.asarray(tokens)[: len(seqs)].tolist()
+            out = np.asarray(tokens)[:, : len(seqs)].tolist()
         self.last_step_stats = {
             "is_prefill": is_prefill,
             "num_seqs": len(seqs),
+            "window": 1 if is_prefill else window,
             "padded_shape": tuple(token_ids.shape),
             "step_time_s": time.perf_counter() - t0,
         }

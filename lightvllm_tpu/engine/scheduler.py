@@ -24,6 +24,7 @@ class Scheduler:
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos = config.eos
+        self.decode_window = max(1, config.decode_window)
         assert config.num_kvcache_blocks > 0, "num_kvcache_blocks must be set"
         self.block_manager = BlockManager(
             config.num_kvcache_blocks, config.kvcache_block_size
@@ -49,8 +50,15 @@ class Scheduler:
         self.block_manager.deallocate(seq)
         self.waiting.appendleft(seq)
 
-    def schedule(self) -> tuple[list[Sequence], bool]:
-        """Returns (scheduled sequences, is_prefill)."""
+    def schedule(self) -> tuple[list[Sequence], bool, int]:
+        """Returns (scheduled sequences, is_prefill, window).
+
+        window is the number of decode steps the runner should fuse into one
+        device dispatch (1 for prefill). Multi-step decode is the TPU analog
+        of the reference's CUDA-graph replay (SURVEY.md §2.8) taken further:
+        it amortizes host->device dispatch AND keeps the sampled-token
+        feedback loop on device for `window` steps.
+        """
         scheduled: list[Sequence] = []
         num_seqs = 0
         num_batched_tokens = 0
@@ -76,13 +84,29 @@ class Scheduler:
             self.running.append(seq)
             scheduled.append(seq)
         if scheduled:
-            return scheduled, True
+            return scheduled, True, 1
 
-        # Phase 2: decode batching.
+        # Phase 2: decode batching over an n-step window. The window shrinks
+        # to the smallest remaining token budget in the batch so no step is
+        # wasted past a sequence's max_tokens.
+        assert self.running, "schedule() called on a finished engine"
+        window = self.decode_window
+        for seq in self.running:
+            window = min(window, max(1, seq.max_tokens - seq.num_completion_tokens))
+        # Round down to a power of two: each distinct window is its own
+        # compiled executable, so cap the shape count at log2(decode_window).
+        window = 1 << (window.bit_length() - 1)
+        # Under memory pressure, shrink the window before resorting to
+        # preemption: a shorter window needs fewer pre-allocated pages.
+        while window > 1 and (
+            sum(self.block_manager.blocks_needed_for_append(s, window) for s in self.running)
+            > self.block_manager.num_free_blocks
+        ):
+            window //= 2
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
             preempted_self = False
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_append(seq, window):
                 if self.running:
                     self.preempt(self.running.pop())
                 else:
@@ -92,7 +116,7 @@ class Scheduler:
             if preempted_self:
                 break
             num_seqs += 1
-            self.block_manager.may_append(seq)
+            self.block_manager.may_append(seq, window)
             scheduled.append(seq)
         if not scheduled:
             # Only reachable when a lone sequence outgrew the entire pool:
@@ -104,15 +128,27 @@ class Scheduler:
             )
         # Re-insert at the front of running, preserving priority order.
         self.running.extendleft(reversed(scheduled))
-        return scheduled, False
+        return scheduled, False, window
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> None:
-        for seq, token_id in zip(seqs, token_ids):
-            seq.append_token(token_id)
-            hit_stop = token_id in seq.stop_token_ids or (
-                not seq.ignore_eos and token_id == self.eos
-            )
-            if hit_stop or seq.num_completion_tokens >= seq.max_tokens:
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
+    def postprocess(self, seqs: list[Sequence], token_ids) -> int:
+        """Apply sampled tokens. token_ids is (B,) for a single step or
+        (window, B) for a fused decode window; tokens sampled after a
+        sequence finished mid-window are discarded. Returns the number of
+        tokens actually appended."""
+        if token_ids and not isinstance(token_ids[0], (list, tuple)):
+            token_ids = [token_ids]
+        appended = 0
+        for step_tokens in token_ids:
+            for seq, token_id in zip(seqs, step_tokens):
+                if seq.is_finished:
+                    continue
+                seq.append_token(token_id)
+                appended += 1
+                hit_stop = token_id in seq.stop_token_ids or (
+                    not seq.ignore_eos and token_id == self.eos
+                )
+                if hit_stop or seq.num_completion_tokens >= seq.max_tokens:
+                    seq.status = SequenceStatus.FINISHED
+                    self.block_manager.deallocate(seq)
+                    self.running.remove(seq)
+        return appended

@@ -29,7 +29,7 @@ from lightvllm_tpu.ops.attention import (
     paged_prefill_attention,
     paged_prefill_attention_pallas,
 )
-from lightvllm_tpu.ops.kv_cache import KVCache, write_kv_layer
+from lightvllm_tpu.ops.kv_cache import KVCache, PAD_SLOT, write_kv_layer
 from lightvllm_tpu.ops.norms import add_rms_norm, rms_norm
 from lightvllm_tpu.ops.quantization import matmul, quantize_weight
 from lightvllm_tpu.ops.rope import apply_rope
@@ -241,6 +241,14 @@ def forward_decode(
     attn_impl: str = "jnp",  # "jnp" | "pallas"
 ) -> tuple[jnp.ndarray, KVCache]:
     scale = spec.head_dim**-0.5
+    B = token_ids.shape[0]
+    # KV slots derive on device from (block_tables, positions); padding rows
+    # carry negative positions and scatter to PAD (dropped).
+    pos = meta.positions
+    blk = jnp.take_along_axis(
+        meta.block_tables, jnp.clip(pos[:, None] // block_size, 0, None), axis=1
+    )[:, 0]
+    slots = jnp.where(pos >= 0, blk * block_size + pos % block_size, PAD_SLOT)
 
     def attn_fn(q, cache, layer):
         if attn_impl == "pallas":
@@ -250,6 +258,6 @@ def forward_decode(
         return paged_decode_attention(q, cache, layer, meta, block_size, scale)
 
     h, cache = _decoder_stack(
-        params, spec, token_ids, meta.positions, cache, meta.slot_mapping, attn_fn
+        params, spec, token_ids, jnp.maximum(pos, 0), cache, slots, attn_fn
     )
     return compute_logits(params, spec, h), cache

@@ -59,21 +59,23 @@ class PrefillMeta:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["slot_mapping", "positions", "ctx_lens", "block_tables", "temperatures"],
+    data_fields=["positions", "ctx_lens", "block_tables", "temperatures"],
     meta_fields=[],
 )
 @dataclass(frozen=True)
 class DecodeMeta:
     """One-token-per-sequence decode batch of B sequences.
 
-    slot_mapping: (B,) KV slot of the incoming token (PAD_SLOT for padding)
-    positions:    (B,) position of the incoming token
+    KV slots are derived on device from (block_tables, positions) — the
+    host sends no slot mapping, and a fused multi-step decode window just
+    advances positions/ctx_lens by the step index.
+
+    positions:    (B,) position of the incoming token (< 0 for padding rows)
     ctx_lens:     (B,) total context length incl. the incoming token
     block_tables: (B, NB)
     temperatures: (B,)
     """
 
-    slot_mapping: jnp.ndarray
     positions: jnp.ndarray
     ctx_lens: jnp.ndarray
     block_tables: jnp.ndarray

@@ -69,7 +69,7 @@ def test_ppl_matches_hf(tiny):
         got["nll_per_token"],
         want_nll,
     )
-    assert math.isfinite(got["ppl"]) and got["tokens"] == 197  # 3*(64-1)+..
+    assert math.isfinite(got["ppl"]) and got["tokens"] == 196  # 3*63 + 7
 
 
 def test_ppl_quantized_paths_run(tiny):

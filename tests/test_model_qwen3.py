@@ -71,7 +71,7 @@ def test_prefill_logits_match_hf(tiny_model_dir):
     engine = make_engine(model_dir)
     prompt = [1, 5, 9, 2, 7, 3, 11, 4, 8, 6, 10, 12]
     engine.add_request(prompt, SamplingParams(temperature=0.0, max_tokens=1))
-    seqs, is_prefill = engine.scheduler.schedule()
+    seqs, is_prefill, _ = engine.scheduler.schedule()
     assert is_prefill
     token_ids, meta = engine.model_runner.prepare_prefill(seqs)
     from lightvllm_tpu.models import qwen3

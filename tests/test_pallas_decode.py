@@ -32,7 +32,6 @@ def make_case(key, B, Hq, Hkv, D, BSZ, NB_total, ctx_lens, dtype=jnp.float32):
 def oracle(q, k_pages, v_pages, bt, ctx, BSZ, scale):
     cache = KVCache(k=k_pages[None], v=v_pages[None])
     meta = DecodeMeta(
-        slot_mapping=jnp.zeros(q.shape[0], jnp.int32),
         positions=ctx - 1,
         ctx_lens=ctx,
         block_tables=bt,
