@@ -69,7 +69,7 @@ def main():
             Sequence(
                 toks,
                 SamplingParams(
-                    temperature=0.0, max_tokens=decode_steps * window + 16, ignore_eos=True
+                    temperature=0.0, max_tokens=(decode_steps + 4) * window, ignore_eos=True
                 ),
                 block_size=config.kvcache_block_size,
             )

@@ -62,6 +62,21 @@ class ModelRunner:
         self.fp8_kv = config.kv_cache_dtype == "fp8"
         self._key = jax.random.PRNGKey(rng_seed)
 
+        # Persistent XLA compilation cache: the unrolled-layer graphs are
+        # compiled once per (batch, window) shape and reused across runs.
+        # TPU only — CPU AOT artifacts are machine-feature-pinned and reload
+        # with SIGILL-risk warnings on different hosts.
+        if config.compilation_cache_dir and jax.default_backend() != "cpu":
+            import os
+
+            path = os.path.expanduser(config.compilation_cache_dir)
+            os.makedirs(path, exist_ok=True)
+            try:
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                pass  # older jax without the knob
+
         self.mesh = mesh
         if mesh is None and config.tensor_parallel_size * config.data_parallel_size > 1:
             from lightvllm_tpu.parallel.mesh import make_mesh
@@ -257,11 +272,11 @@ class ModelRunner:
 
     def prepare_decode(self, seqs: list[Sequence]) -> tuple[np.ndarray, DecodeMeta]:
         B = bucket(len(seqs), minimum=8, cap=bucket(self.config.max_num_seqs, 8))
-        NB = bucket(
-            max(len(s.block_table) for s in seqs),
-            minimum=1,
-            cap=self.config.max_blocks_per_seq,
-        )
+        # Fixed table width: the decode kernel skips chunks past each ctx, so
+        # padding to max_blocks_per_seq costs ~nothing on device but pins ONE
+        # compiled decode shape per (B, window) — a growing NB bucket would
+        # recompile the whole unrolled-layer graph mid-serving.
+        NB = self.config.max_blocks_per_seq
         token_ids = np.zeros(B, np.int32)
         # Padding rows keep strongly negative positions across any window.
         positions = np.full(B, -(1 << 30), np.int32)

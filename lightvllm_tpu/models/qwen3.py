@@ -140,9 +140,7 @@ def _decoder_stack(
     Hq, Hkv, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
     h = jnp.take(params["embed"], token_ids, axis=0).astype(dt)
 
-    def layer_fn(carry, xs):
-        h, cache = carry
-        lp, layer_idx = xs
+    def layer_fn(h, cache, lp, layer_idx):
         # --- attention block ---
         normed = rms_norm(h, lp["input_ln"], spec.rms_eps)
         q = matmul(normed, lp["wq"]).reshape(T, Hq, D)
@@ -160,13 +158,16 @@ def _decoder_stack(
         up = matmul(normed2, lp["w_up"])
         mlp = matmul(swiglu(gate, up), lp["w_down"])
         h = h + mlp
-        return (h, cache), None
+        return h, cache
 
-    (h, cache), _ = jax.lax.scan(
-        layer_fn,
-        (h, cache),
-        (params["layers"], jnp.arange(spec.num_layers, dtype=jnp.int32)),
-    )
+    # Unrolled Python loop over layers, NOT lax.scan: scan's dynamic slice
+    # of the stacked (L, ...) weights materializes a copy of every layer's
+    # weights per step (read + write + re-read ~= 3x the weight bytes —
+    # measured 18 ms vs the 6 ms weight-read floor at decode b32). Static
+    # slices from the unrolled loop feed the MXU directly with no copy.
+    for i in range(spec.num_layers):
+        lp = jax.tree.map(lambda x, i=i: x[i], params["layers"])
+        h, cache = layer_fn(h, cache, lp, i)
     h = rms_norm(h, params["final_ln"], spec.rms_eps)
     return h, cache
 

@@ -101,12 +101,11 @@ def paged_prefill_attention_pallas(
     q_rect = q[jnp.clip(meta.rect_index, 0, T - 1)]  # (B, Sq, Hq, D)
     out_rect = paged_flash_prefill(
         q_rect,
-        cache.k,
-        cache.v,
+        cache.k[layer],
+        cache.v[layer],
         meta.block_tables,
         meta.ctx_lens,
         meta.cached_lens,
-        layer,
         block_size=block_size,
         scale=scale,
         interpret=interpret,
@@ -129,11 +128,10 @@ def paged_decode_attention_pallas(
 
     return paged_flash_decode(
         q,
-        cache.k,
-        cache.v,
+        cache.k[layer],
+        cache.v[layer],
         meta.block_tables,
         meta.ctx_lens,
-        layer,
         block_size=block_size,
         scale=scale,
         interpret=interpret,

@@ -43,22 +43,39 @@ PAD_SLOT = jnp.iinfo(jnp.int32).max
 )
 @dataclass
 class KVCache:
-    """k/v: (L, NB, Hkv, BSZ, D); bf16/f32, or scale-free e4m3 when fp8."""
+    """k/v: per-layer tuples of (NB, Hkv, BSZ, D) page arrays; bf16/f32, or
+    scale-free e4m3 when fp8.
 
-    k: jnp.ndarray
-    v: jnp.ndarray
+    One array PER LAYER, not a stacked (L, ...) array, for two measured
+    reasons (decode step 98 ms -> ~3 ms on a 13 GB cache):
+      - a lax.scan over a stacked cache dynamic-slices every layer's weights
+        and pages (materializing copies), while an unrolled layer loop over
+        a SINGLE stacked cache makes layer i+1's scatter and layer i's
+        attention read conflict on one buffer with no data edge — XLA's
+        copy-insertion then duplicates the whole cache every layer;
+      - with per-layer buffers each scatter/read pair touches its own array,
+        donation aliases in place, and the attention kernels drop the layer
+        index entirely.
+    """
+
+    k: tuple
+    v: tuple
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.k)
 
     @property
     def block_size(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
 
     @property
     def num_blocks(self) -> int:
-        return self.k.shape[1]
+        return self.k[0].shape[0]
 
     @property
     def is_fp8(self) -> bool:
-        return self.k.dtype == FP8_DTYPE
+        return self.k[0].dtype == FP8_DTYPE
 
 
 def alloc_kv_cache(
@@ -71,8 +88,11 @@ def alloc_kv_cache(
     fp8: bool,
 ) -> KVCache:
     kv_dtype = FP8_DTYPE if fp8 else dtype
-    shape = (num_layers, num_blocks, num_kv_heads, block_size, head_dim)
-    return KVCache(k=jnp.zeros(shape, kv_dtype), v=jnp.zeros(shape, kv_dtype))
+    shape = (num_blocks, num_kv_heads, block_size, head_dim)
+    return KVCache(
+        k=tuple(jnp.zeros(shape, kv_dtype) for _ in range(num_layers)),
+        v=tuple(jnp.zeros(shape, kv_dtype) for _ in range(num_layers)),
+    )
 
 
 def kv_cache_bytes_per_block(
@@ -91,7 +111,7 @@ def to_kv_dtype(x: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def write_kv_layer(
     cache: KVCache,
-    layer: jnp.ndarray,  # scalar int32 (traced inside scan)
+    layer: int,  # static layer index (unrolled layer loop)
     k_new: jnp.ndarray,  # (T, Hkv, D)
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # (T,) int32 = block*BSZ + offset; PAD dropped
@@ -99,24 +119,24 @@ def write_kv_layer(
     bs = cache.block_size
     blocks = slot_mapping // bs
     offsets = slot_mapping % bs
-    heads = jnp.arange(cache.k.shape[2], dtype=slot_mapping.dtype)
+    heads = jnp.arange(cache.k[layer].shape[1], dtype=slot_mapping.dtype)
     # Every index dim is an explicit advanced index so the scatter's update
     # window is only (D,) — innermost in every layout. With the head dim as
-    # a slice instead (.at[layer, blocks, :, offsets]), XLA layout-assigns
-    # the scatter a token-major cache layout that conflicts with the Pallas
+    # a slice instead (.at[blocks, :, offsets]), XLA layout-assigns the
+    # scatter a token-major cache layout that conflicts with the Pallas
     # kernels' default layout and inserts FULL-CACHE layout-conversion
     # copies every layer (measured 25 ms/layer on a 13 GB cache).
-    k_q = to_kv_dtype(k_new, cache.k.dtype)
-    v_q = to_kv_dtype(v_new, cache.v.dtype)
-    idx = (layer, blocks[:, None], heads[None, :], offsets[:, None])
-    k = cache.k.at[idx].set(k_q, mode="drop")
-    v = cache.v.at[idx].set(v_q, mode="drop")
-    return KVCache(k=k, v=v)
+    idx = (blocks[:, None], heads[None, :], offsets[:, None])
+    k = list(cache.k)
+    v = list(cache.v)
+    k[layer] = k[layer].at[idx].set(to_kv_dtype(k_new, k[layer].dtype), mode="drop")
+    v[layer] = v[layer].at[idx].set(to_kv_dtype(v_new, v[layer].dtype), mode="drop")
+    return KVCache(k=tuple(k), v=tuple(v))
 
 
 def gather_kv_for_seqs(
     cache: KVCache,
-    layer: jnp.ndarray,
+    layer: int,
     block_tables: jnp.ndarray,  # (B, NB) int32
     block_size: int,
     out_dtype,
@@ -127,8 +147,8 @@ def gather_kv_for_seqs(
     B, NB = block_tables.shape
 
     def gather_one(data):
-        g = data[layer][block_tables]  # (B, NB, Hkv, BSZ, D)
+        g = data[block_tables]  # (B, NB, Hkv, BSZ, D)
         g = g.astype(jnp.float32).transpose(0, 1, 3, 2, 4)  # (B, NB, BSZ, Hkv, D)
         return g.reshape(B, NB * block_size, *g.shape[3:]).astype(out_dtype)
 
-    return gather_one(cache.k), gather_one(cache.v)
+    return gather_one(cache.k[layer]), gather_one(cache.v[layer])

@@ -42,17 +42,12 @@ def _compute_dtype(page_dtype) -> jnp.dtype:
     return jnp.bfloat16 if jnp.dtype(page_dtype).itemsize < 2 else page_dtype
 
 
-def _chunk_copies(pages_hbm, buf, sem, tables_ref, layer, b, chunk, buf_idx, ppcb):
+def _chunk_copies(pages_hbm, buf, sem, tables_ref, b, chunk, buf_idx, ppcb):
     """One whole-page DMA per page in the chunk (all heads at once).
-
-    pages_hbm is the full (L, NBtot, Hkv, BSZ, D) cache: slicing the layer
-    here (instead of passing cache[layer]) keeps the per-layer dynamic slice
-    out of XLA, which would otherwise materialize a copy of the layer's
-    pages on every scan iteration.
-    """
+    pages_hbm is one layer's (NBtot, Hkv, BSZ, D) page array."""
     return [
         pltpu.make_async_copy(
-            pages_hbm.at[layer, tables_ref[b, chunk * ppcb + j]],
+            pages_hbm.at[tables_ref[b, chunk * ppcb + j]],
             buf.at[buf_idx, j],
             sem.at[buf_idx],
         )
@@ -64,10 +59,9 @@ def _decode_kernel(
     # scalar prefetch
     tables_ref,  # (B, NB_padded) int32
     ctx_lens_ref,  # (B,) int32
-    layer_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, Hkv, Gp, D) VMEM
-    k_hbm,  # (L, NBtot, Hkv, BSZ, D) ANY (HBM)
+    k_hbm,  # (NBtot, Hkv, BSZ, D) ANY (HBM), one layer's pages
     v_hbm,
     # outputs
     o_ref,  # (1, Hkv, Gp, D) f32 VMEM
@@ -88,7 +82,6 @@ def _decode_kernel(
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    layer = layer_ref[0]
     num_b = pl.num_programs(0)
     num_chunks = pl.num_programs(1)
     chunk_tokens = ppcb * block_size
@@ -116,9 +109,9 @@ def _decode_kernel(
         def _first():
             init_ref[0] = 1
             buf_idx_ref[0] = 0
-            for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b, i, 0, ppcb):
+            for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, b, i, 0, ppcb):
                 c.start()
-            for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b, i, 0, ppcb):
+            for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, 0, ppcb):
                 c.start()
 
         buf_idx = buf_idx_ref[0]
@@ -134,11 +127,11 @@ def _decode_kernel(
         def _prefetch():
             nxt = 1 - buf_idx
             for c in _chunk_copies(
-                k_hbm, k_buf, k_sem, tables_ref, layer, next_b, next_i, nxt, ppcb
+                k_hbm, k_buf, k_sem, tables_ref, next_b, next_i, nxt, ppcb
             ):
                 c.start()
             for c in _chunk_copies(
-                v_hbm, v_buf, v_sem, tables_ref, layer, next_b, next_i, nxt, ppcb
+                v_hbm, v_buf, v_sem, tables_ref, next_b, next_i, nxt, ppcb
             ):
                 c.start()
             buf_idx_ref[0] = nxt
@@ -150,7 +143,7 @@ def _decode_kernel(
         # yields correct per-head outputs. Decode is HBM-bound, so the extra
         # MXU work is cheap — and under tensor parallelism the local Hkv
         # (the waste factor) shrinks toward 1.
-        for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b, i, buf_idx, ppcb):
+        for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, b, i, buf_idx, ppcb):
             c.wait()
 
         Hkv, Gp = q_ref.shape[1], q_ref.shape[2]
@@ -182,7 +175,7 @@ def _decode_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b, i, buf_idx, ppcb):
+        for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, buf_idx, ppcb):
             c.wait()
         v = v_buf[buf_idx].reshape(Tbig, -1)  # (Tbig, D)
         o_cur = jax.lax.dot(
@@ -204,11 +197,10 @@ def _decode_kernel(
 )
 def paged_flash_decode(
     q: jnp.ndarray,  # (B, Hq, D)
-    k_pages: jnp.ndarray,  # (L, NB_total, Hkv, BSZ, D) full cache
-    v_pages: jnp.ndarray,  # (L, NB_total, Hkv, BSZ, D)
+    k_pages: jnp.ndarray,  # (NB_total, Hkv, BSZ, D), one layer's pages
+    v_pages: jnp.ndarray,  # (NB_total, Hkv, BSZ, D)
     block_tables: jnp.ndarray,  # (B, NB) int32
     ctx_lens: jnp.ndarray,  # (B,) int32
-    layer: jnp.ndarray | int = 0,  # scalar layer index into the cache
     *,
     block_size: int,
     scale: float,
@@ -216,7 +208,7 @@ def paged_flash_decode(
     interpret: bool = False,
 ) -> jnp.ndarray:  # (B, Hq, D) in q.dtype
     B, Hq, D = q.shape
-    Hkv = k_pages.shape[2]
+    Hkv = k_pages.shape[1]
     G = Hq // Hkv
     Gp = max(G, 8)  # fp32 sublane tile
     NB = block_tables.shape[1]
@@ -241,14 +233,14 @@ def paged_flash_decode(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, num_chunks),
         in_specs=[
-            pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl, ly: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl: (b, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl, ly: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl: (b, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
             pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
@@ -277,6 +269,5 @@ def paged_flash_decode(
         # The TPU-flavored interpreter handles DMAs/semaphores on CPU.
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-    out = kernel(clamped_tables, ctx_lens, layer_arr, qg, k_pages, v_pages)
+    out = kernel(clamped_tables, ctx_lens, qg, k_pages, v_pages)
     return out[:, :, :G].reshape(B, Hq, D).astype(q.dtype)

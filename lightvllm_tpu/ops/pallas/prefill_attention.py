@@ -36,11 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _page_copies(pages_hbm, buf, sem, tables_ref, layer, b, chunk, buf_idx, ppcb):
-    """One whole-page DMA per page in the chunk (all KV heads at once)."""
+def _page_copies(pages_hbm, buf, sem, tables_ref, b, chunk, buf_idx, ppcb):
+    """One whole-page DMA per page in the chunk (all KV heads at once).
+    pages_hbm is one layer's (NBtot, Hkv, BSZ, D) page array."""
     return [
         pltpu.make_async_copy(
-            pages_hbm.at[layer, tables_ref[b, chunk * ppcb + j]],
+            pages_hbm.at[tables_ref[b, chunk * ppcb + j]],
             buf.at[buf_idx, j],
             sem.at[buf_idx],
         )
@@ -53,10 +54,9 @@ def _prefill_kernel(
     tables_ref,  # (B, NB_padded) int32
     ctx_lens_ref,  # (B,) int32 full context length per seq
     cached_lens_ref,  # (B,) int32 prefix-cached tokens per seq
-    layer_ref,  # (1,) int32
     # inputs
     q_ref,  # (1, Hkv, TQ*G, D) VMEM
-    k_hbm,  # (L, NBtot, Hkv, BSZ, D) ANY (HBM)
+    k_hbm,  # (NBtot, Hkv, BSZ, D) ANY (HBM), one layer's pages
     v_hbm,
     # outputs
     o_ref,  # (1, Hkv, TQ*G, D) f32 VMEM
@@ -86,7 +86,6 @@ def _prefill_kernel(
     chunk_tokens = ppcb * block_size
     ctx = ctx_lens_ref[b]
     cached = cached_lens_ref[b]
-    layer = layer_ref[0]
 
     def n_valid_chunks(b_, qt_):
         # Chunks this (seq, q-tile) must visit: up to the causal frontier
@@ -99,15 +98,15 @@ def _prefill_kernel(
     nvalid = n_valid_chunks(b, qt)
 
     def start_chunk(b_, c_, slot):
-        for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b_, c_, slot, ppcb):
+        for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, b_, c_, slot, ppcb):
             cp.start()
-        for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b_, c_, slot, ppcb):
+        for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, b_, c_, slot, ppcb):
             cp.start()
 
     def wait_chunk(b_, c_, slot):
-        for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, layer, b_, c_, slot, ppcb):
+        for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, b_, c_, slot, ppcb):
             cp.wait()
-        for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, layer, b_, c_, slot, ppcb):
+        for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, b_, c_, slot, ppcb):
             cp.wait()
 
     @pl.when((b == 0) & (qt == 0) & (c == 0))
@@ -208,12 +207,11 @@ def _prefill_kernel(
 )
 def paged_flash_prefill(
     q: jnp.ndarray,  # (B, Sq, Hq, D) rectangular new-token queries, rope'd
-    k_pages: jnp.ndarray,  # (L, NBtot, Hkv, BSZ, D) full cache
+    k_pages: jnp.ndarray,  # (NBtot, Hkv, BSZ, D), one layer's pages
     v_pages: jnp.ndarray,
     block_tables: jnp.ndarray,  # (B, NB) int32
     ctx_lens: jnp.ndarray,  # (B,) int32 full lengths (cached + new)
     cached_lens: jnp.ndarray,  # (B,) int32 prefix-cached lengths
-    layer: jnp.ndarray | int = 0,
     *,
     block_size: int,
     scale: float,
@@ -222,7 +220,7 @@ def paged_flash_prefill(
     interpret: bool = False,
 ) -> jnp.ndarray:  # (B, Sq, Hq, D) in q.dtype
     B, Sq, Hq, D = q.shape
-    Hkv = k_pages.shape[2]
+    Hkv = k_pages.shape[1]
     G = Hq // Hkv
     NB = block_tables.shape[1]
     ppcb = min(ppcb, NB)
@@ -255,7 +253,7 @@ def paged_flash_prefill(
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(B, num_qt, num_chunks),
         in_specs=[
             pl.BlockSpec((1, Hkv, tq * G, D), lambda b, qt, c, *_: (b, 0, qt, 0)),
@@ -294,8 +292,7 @@ def paged_flash_prefill(
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
-    out = kernel(clamped_tables, ctx_lens, cached_lens, layer_arr, qg, k_pages, v_pages)
+    out = kernel(clamped_tables, ctx_lens, cached_lens, qg, k_pages, v_pages)
     # (B, Hkv, Sqp*G, D) -> (B, Sqp, Hq, D) -> strip padding.
     out = out.reshape(B, Hkv, Sqp, G, D).transpose(0, 2, 1, 3, 4)
     return out[:, :Sq].reshape(B, Sq, Hq, D).astype(q.dtype)

@@ -70,8 +70,8 @@ def param_specs(params: dict) -> dict:
 
 
 def kv_cache_specs() -> dict:
-    """KVCache pytree specs: (L, NB, Hkv, BSZ, D) with heads on "model"."""
-    data = P(None, None, "model", None, None)
+    """KVCache pytree specs: per-layer (NB, Hkv, BSZ, D), heads on "model"."""
+    data = P(None, "model", None, None)
     return {"k": data, "v": data}
 
 

@@ -30,14 +30,14 @@ def make_case(key, B, Hq, Hkv, D, BSZ, NB_total, ctx_lens, dtype=jnp.float32):
 
 
 def oracle(q, k_pages, v_pages, bt, ctx, BSZ, scale):
-    cache = KVCache(k=k_pages[None], v=v_pages[None])
+    cache = KVCache(k=(k_pages,), v=(v_pages,))
     meta = DecodeMeta(
         positions=ctx - 1,
         ctx_lens=ctx,
         block_tables=bt,
         temperatures=jnp.zeros(q.shape[0], jnp.float32),
     )
-    return paged_decode_attention(q, cache, jnp.int32(0), meta, BSZ, scale)
+    return paged_decode_attention(q, cache, 0, meta, BSZ, scale)
 
 
 @pytest.mark.parametrize(
@@ -56,7 +56,7 @@ def test_decode_kernel_matches_oracle(B, Hq, Hkv, D, BSZ, ctx_lens):
     )
     want = oracle(q, kp, vp, bt, ctx, BSZ, scale)
     got = paged_flash_decode(
-        q, kp[None], vp[None], bt, ctx, 0, block_size=BSZ, scale=scale, interpret=True
+        q, kp, vp, bt, ctx, block_size=BSZ, scale=scale, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
@@ -71,7 +71,7 @@ def test_decode_kernel_padding_rows_are_finite():
         jax.random.PRNGKey(2), 2, 8, 4, 128, 16, 32, [20, 0]
     )
     got = paged_flash_decode(
-        q, kp[None], vp[None], bt, ctx, 0, block_size=16, scale=scale, interpret=True
+        q, kp, vp, bt, ctx, block_size=16, scale=scale, interpret=True
     )
     assert np.isfinite(np.asarray(got, np.float32)).all()
     want_row0 = oracle(q, kp, vp, bt, jnp.array([20, 1], jnp.int32), 16, scale)[0]
@@ -96,8 +96,7 @@ def test_decode_kernel_fp8_kv():
     kq, vq = _cast_pages_fp8(kp), _cast_pages_fp8(vp)
     want = oracle(q, kq, vq, bt, ctx, 16, scale)  # same fp8 data, f32 math
     got = paged_flash_decode(
-        q, kq[None], vq[None], bt, ctx, 0, block_size=16, scale=scale,
-        interpret=True,
+        q, kq, vq, bt, ctx, block_size=16, scale=scale, interpret=True,
     )
     # fp8 kernel computes in bf16 vs the oracle's f32 upcast: tolerance
     # reflects bf16 matmul rounding, not the e4m3 storage error.
@@ -113,7 +112,7 @@ def test_decode_kernel_bf16_io():
     )
     want = oracle(q, kp, vp, bt, ctx, 16, scale)
     got = paged_flash_decode(
-        q, kp[None], vp[None], bt, ctx, 0, block_size=16, scale=scale, interpret=True
+        q, kp, vp, bt, ctx, block_size=16, scale=scale, interpret=True
     )
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(

@@ -30,10 +30,10 @@ def build_case(key, Hq, Hkv, D, BSZ, NB_total, ctx_lens, cached_lens, dtype):
     NB = max((c + BSZ - 1) // BSZ for c in ctx_lens)
     ks = jax.random.split(key, 3)
     q = jax.random.normal(ks[0], (T, Hq, D), dtype)
-    shape = (1, NB_total, Hkv, BSZ, D)
+    shape = (NB_total, Hkv, BSZ, D)
     cache = KVCache(
-        k=jax.random.normal(ks[1], shape, dtype),
-        v=jax.random.normal(ks[2], shape, dtype),
+        k=(jax.random.normal(ks[1], shape, dtype),),
+        v=(jax.random.normal(ks[2], shape, dtype),),
     )
     rng = np.random.default_rng(0)
     bt = rng.permutation(NB_total)[: B * NB].reshape(B, NB).astype(np.int32)
@@ -78,9 +78,9 @@ def test_prefill_kernel_matches_oracle(Hq, Hkv, D, BSZ, ctx_lens, cached_lens):
     q, cache, meta = build_case(
         jax.random.PRNGKey(1), Hq, Hkv, D, BSZ, 64, ctx_lens, cached_lens, jnp.float32
     )
-    want = paged_prefill_attention(q, cache, jnp.int32(0), meta, BSZ, scale)
+    want = paged_prefill_attention(q, cache, 0, meta, BSZ, scale)
     got = paged_prefill_attention_pallas(
-        q, cache, jnp.int32(0), meta, BSZ, scale, interpret=True
+        q, cache, 0, meta, BSZ, scale, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
@@ -93,9 +93,9 @@ def test_prefill_kernel_small_q_tile():
     q, cache, meta = build_case(
         jax.random.PRNGKey(2), 8, 4, 128, 16, 32, [3, 4], [0, 0], jnp.float32
     )
-    want = paged_prefill_attention(q, cache, jnp.int32(0), meta, 16, scale)
+    want = paged_prefill_attention(q, cache, 0, meta, 16, scale)
     got = paged_prefill_attention_pallas(
-        q, cache, jnp.int32(0), meta, 16, scale, interpret=True
+        q, cache, 0, meta, 16, scale, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
@@ -107,10 +107,12 @@ def test_prefill_kernel_fp8_kv():
     q, cache, meta = build_case(
         jax.random.PRNGKey(5), 8, 4, 128, 16, 64, [40, 33], [32, 16], jnp.float32
     )
-    qcache = KVCache(k=_cast_pages_fp8(cache.k), v=_cast_pages_fp8(cache.v))
-    want = paged_prefill_attention(q, qcache, jnp.int32(0), meta, 16, scale)
+    qcache = KVCache(
+        k=(_cast_pages_fp8(cache.k[0]),), v=(_cast_pages_fp8(cache.v[0]),)
+    )
+    want = paged_prefill_attention(q, qcache, 0, meta, 16, scale)
     got = paged_prefill_attention_pallas(
-        q, qcache, jnp.int32(0), meta, 16, scale, interpret=True
+        q, qcache, 0, meta, 16, scale, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
@@ -122,9 +124,9 @@ def test_prefill_kernel_bf16_io():
     q, cache, meta = build_case(
         jax.random.PRNGKey(3), 8, 4, 128, 16, 32, [30, 47], [0, 16], jnp.bfloat16
     )
-    want = paged_prefill_attention(q, cache, jnp.int32(0), meta, 16, scale)
+    want = paged_prefill_attention(q, cache, 0, meta, 16, scale)
     got = paged_prefill_attention_pallas(
-        q, cache, jnp.int32(0), meta, 16, scale, interpret=True
+        q, cache, 0, meta, 16, scale, interpret=True
     )
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(

@@ -81,10 +81,10 @@ def test_tp8_weights_are_sharded(spec_and_params):
     shard_shapes = {s.data.shape for s in wq.addressable_shards}
     # (L, E, Hq*D) = (2, 64, 128) split 8-way on out-features.
     assert shard_shapes == {(2, 64, 128 // 8)}
-    k = engine.model_runner.cache.k
-    kshapes = {s.data.shape for s in k.addressable_shards}
-    # (L, NB, Hkv, BSZ, D) with Hkv=8 split 8-way.
-    assert kshapes == {(2, 64, 1, BS, 16)}
+    k0 = engine.model_runner.cache.k[0]  # per-layer page arrays
+    kshapes = {s.data.shape for s in k0.addressable_shards}
+    # (NB, Hkv, BSZ, D) with Hkv=8 split 8-way.
+    assert kshapes == {(64, 1, BS, 16)}
 
 
 def test_tp2_quantized_int8(spec_and_params):
