@@ -129,14 +129,22 @@ class ModelRunner:
             attn_impl = "pallas" if (on_tpu and kernel_ok) else "jnp"
         self.attn_impl = attn_impl
 
-        def prefill_fn(params, token_ids, meta, cache, key):
+        def prefill_fn(params, token_ids, meta, cache, key, extended):
             logits, cache = qwen3.forward_prefill(
                 params, spec, token_ids, meta, cache, bs, attn_impl=attn_impl
             )
-            tokens = sample(logits, meta.temperatures, key)
+            tokens = sample(
+                logits,
+                meta.temperatures,
+                key,
+                top_ks=meta.top_ks if extended else None,
+                top_ps=meta.top_ps if extended else None,
+                seeds=meta.seeds if extended else None,
+                positions=meta.ctx_lens if extended else None,
+            )
             return tokens, cache
 
-        def decode_fn(params, token_ids, meta, cache, key, window):
+        def decode_fn(params, token_ids, meta, cache, key, window, extended):
             """Fused n-step decode: the sampled-token feedback loop stays on
             device for `window` steps (TPU analog of CUDA-graph replay,
             SURVEY.md §2.8, amortizing the host dispatch + tunnel RTT)."""
@@ -148,12 +156,21 @@ class ModelRunner:
                     ctx_lens=meta.ctx_lens + s,
                     block_tables=meta.block_tables,
                     temperatures=meta.temperatures,
+                    top_ks=meta.top_ks,
+                    top_ps=meta.top_ps,
+                    seeds=meta.seeds,
                 )
                 logits, cache = qwen3.forward_decode(
                     params, spec, tokens, stepmeta, cache, bs, attn_impl=attn_impl
                 )
                 nxt = sample(
-                    logits, meta.temperatures, jax.random.fold_in(key, s)
+                    logits,
+                    meta.temperatures,
+                    jax.random.fold_in(key, s),
+                    top_ks=meta.top_ks if extended else None,
+                    top_ps=meta.top_ps if extended else None,
+                    seeds=meta.seeds if extended else None,
+                    positions=(meta.positions + s + 1) if extended else None,
                 )
                 return (nxt, cache), nxt
 
@@ -166,9 +183,11 @@ class ModelRunner:
             self._prefill = prefill_fn
             self._decode = decode_fn
         else:
-            self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
+            self._prefill = jax.jit(
+                prefill_fn, donate_argnums=(3,), static_argnums=(5,)
+            )
             self._decode = jax.jit(
-                decode_fn, donate_argnums=(3,), static_argnums=(5,)
+                decode_fn, donate_argnums=(3,), static_argnums=(5, 6)
             )
 
         # Step statistics (SURVEY.md §5: structured per-step metrics).
@@ -234,6 +253,9 @@ class ModelRunner:
         block_tables = np.zeros((B, NB), np.int32)
         last_flat_idx = np.zeros(B, np.int32)
         temperatures = np.zeros(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        top_ps = np.ones(B, np.float32)
+        seeds = np.full(B, -1, np.int32)
 
         t = 0
         for b, seq in enumerate(seqs):
@@ -255,6 +277,9 @@ class ModelRunner:
             block_tables[b, : len(bt_np)] = bt_np
             last_flat_idx[b] = t + n - 1
             temperatures[b] = seq.temperature
+            top_ks[b] = seq.top_k
+            top_ps[b] = seq.top_p
+            seeds[b] = -1 if seq.seed is None else seq.seed
             t += n
 
         meta = PrefillMeta(
@@ -267,6 +292,9 @@ class ModelRunner:
             block_tables=jnp.asarray(block_tables),
             last_flat_idx=jnp.asarray(last_flat_idx),
             temperatures=jnp.asarray(temperatures),
+            top_ks=jnp.asarray(top_ks),
+            top_ps=jnp.asarray(top_ps),
+            seeds=jnp.asarray(seeds),
         )
         return jnp.asarray(token_ids), meta
 
@@ -283,17 +311,26 @@ class ModelRunner:
         ctx_lens = np.zeros(B, np.int32)
         block_tables = np.zeros((B, NB), np.int32)
         temperatures = np.zeros(B, np.float32)
+        top_ks = np.zeros(B, np.int32)
+        top_ps = np.ones(B, np.float32)
+        seeds = np.full(B, -1, np.int32)
         for b, seq in enumerate(seqs):
             token_ids[b] = seq.last_token
             positions[b] = len(seq) - 1
             ctx_lens[b] = len(seq)
             block_tables[b, : len(seq.block_table)] = seq.block_table
             temperatures[b] = seq.temperature
+            top_ks[b] = seq.top_k
+            top_ps[b] = seq.top_p
+            seeds[b] = -1 if seq.seed is None else seq.seed
         meta = DecodeMeta(
             positions=jnp.asarray(positions),
             ctx_lens=jnp.asarray(ctx_lens),
             block_tables=jnp.asarray(block_tables),
             temperatures=jnp.asarray(temperatures),
+            top_ks=jnp.asarray(top_ks),
+            top_ps=jnp.asarray(top_ps),
+            seeds=jnp.asarray(seeds),
         )
         return jnp.asarray(token_ids), meta
 
@@ -304,16 +341,21 @@ class ModelRunner:
         (window, B) sampled tokens (list of lists)."""
         t0 = time.perf_counter()
         self._key, step_key = jax.random.split(self._key)
+        # Trace-time flag: batches without top-k/top-p/seeds never pay the
+        # (B, V) argsort or per-row PRNG (separate compiled executable).
+        extended = any(
+            s.top_k > 0 or s.top_p < 1.0 or s.seed is not None for s in seqs
+        )
         if is_prefill:
             token_ids, meta = self.prepare_prefill(seqs)
             tokens, self.cache = self._prefill(
-                self.params, token_ids, meta, self.cache, step_key
+                self.params, token_ids, meta, self.cache, step_key, extended
             )
             out = np.asarray(tokens)[: len(seqs)].tolist()
         else:
             token_ids, meta = self.prepare_decode(seqs)
             tokens, self.cache = self._decode(
-                self.params, token_ids, meta, self.cache, step_key, window
+                self.params, token_ids, meta, self.cache, step_key, window, extended
             )
             out = np.asarray(tokens)[:, : len(seqs)].tolist()
         self.last_step_stats = {

@@ -51,6 +51,9 @@ def _window_nll(
         block_tables=jnp.arange(NB, dtype=jnp.int32)[None, :],
         last_flat_idx=jnp.asarray([T - 1], jnp.int32),
         temperatures=jnp.zeros(1, jnp.float32),
+        top_ks=jnp.zeros(1, jnp.int32),
+        top_ps=jnp.ones(1, jnp.float32),
+        seeds=jnp.full((1,), -1, jnp.int32),
     )
     h, _ = qwen3.hidden_states_prefill(
         params, spec, token_ids, meta, cache, block_size, attn_impl=attn_impl

@@ -2,9 +2,17 @@
 
 Parity: reference `lightvllm/layers/sampler.py:16-64` (per-seq temperature;
 greedy via argmax for T=0, exponential-race ("Gumbel-trick") sampling
-otherwise, mixed by where). TPU-first: sampling runs inside the jitted step
-with an explicit threaded PRNG key — deterministic and multi-host
-reproducible, unlike the reference's rank-0-only torch RNG.
+otherwise, mixed by where). TPU-first extensions the reference lacks
+(SURVEY.md §2.10): per-request top-k / top-p filtering and per-request
+seeds, all inside the jitted step.
+
+Top-k/top-p cost a (B, V) argsort, so the runner only traces the filtering
+variant when some request in the batch asks for it (a separate compiled
+executable; homogeneous batches never pay for it).
+
+Seeded rows derive their key purely from (seed, token position), so a
+seeded request reproduces exactly regardless of batch placement, scheduling
+or windowing; unseeded rows use the engine's stepped PRNG.
 """
 
 from __future__ import annotations
@@ -12,16 +20,81 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+NEG_INF = jnp.float32(-1e30)
+_SEED_ROOT = 0x5EEDF00D
+
+
+def _filter_top_k_top_p(
+    logits: jnp.ndarray,  # (B, V) f32, already divided by temperature
+    top_ks: jnp.ndarray,  # (B,) int32; 0 disables
+    top_ps: jnp.ndarray,  # (B,) f32; 1.0 disables
+) -> jnp.ndarray:
+    B, V = logits.shape
+    sort_idx = jnp.argsort(-logits, axis=-1)  # descending
+    sorted_lg = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+
+    k = jnp.where(top_ks > 0, top_ks, V)[:, None]
+    keep = col < k
+
+    probs = jax.nn.softmax(sorted_lg, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Keep the smallest prefix with cumulative mass >= top_p (the first
+    # token is always kept: cum - prob < p for col 0 when p > 0).
+    keep &= (cum - probs) < top_ps[:, None]
+
+    # Scatter the sorted-space mask back to vocab positions.
+    mask = jnp.zeros((B, V), bool)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, V), 0)
+    mask = mask.at[rows, sort_idx].set(keep)
+    return jnp.where(mask, logits, NEG_INF)
+
+
+def _row_keys(
+    key: jax.Array,  # engine step key
+    seeds: jnp.ndarray,  # (B,) int32; < 0 = unseeded
+    positions: jnp.ndarray,  # (B,) int32 position of the sampled token
+) -> jax.Array:  # (B,) key array
+    B = seeds.shape[0]
+    unseeded = jax.vmap(lambda r: jax.random.fold_in(key, r))(
+        jnp.arange(B, dtype=jnp.int32)
+    )
+    root = jax.random.PRNGKey(_SEED_ROOT)
+    seeded = jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.fold_in(root, s), p)
+    )(jnp.maximum(seeds, 0), positions)
+    kd = jnp.where(
+        (seeds >= 0)[:, None],
+        jax.random.key_data(seeded),
+        jax.random.key_data(unseeded),
+    )
+    return jax.random.wrap_key_data(kd)
+
 
 def sample(
     logits: jnp.ndarray,  # (B, V) float32
     temperatures: jnp.ndarray,  # (B,) float32; 0 = greedy
     key: jax.Array,
+    top_ks: jnp.ndarray | None = None,  # (B,) int32; enables filtering
+    top_ps: jnp.ndarray | None = None,  # (B,) f32
+    seeds: jnp.ndarray | None = None,  # (B,) int32; < 0 = unseeded
+    positions: jnp.ndarray | None = None,  # (B,) int32 for seeded rows
 ) -> jnp.ndarray:  # (B,) int32
     logits = logits.astype(jnp.float32)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    # Gumbel-max: argmax(logits/T + G) samples softmax(logits/T) exactly.
+
     safe_t = jnp.where(temperatures > 0, temperatures, 1.0)[:, None]
-    gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
-    sampled = jnp.argmax(logits / safe_t + gumbel, axis=-1).astype(jnp.int32)
+    scaled = logits / safe_t
+    if top_ks is not None:
+        scaled = _filter_top_k_top_p(scaled, top_ks, top_ps)
+
+    # Gumbel-max: argmax(logits/T + G) samples softmax(logits/T) exactly.
+    if seeds is not None:
+        keys = _row_keys(key, seeds, positions)
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (logits.shape[1],), jnp.float32)
+        )(keys)
+    else:
+        gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
+    sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
     return jnp.where(temperatures > 0, sampled, greedy)

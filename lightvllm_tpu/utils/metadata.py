@@ -28,6 +28,9 @@ import jax.numpy as jnp
         "block_tables",
         "last_flat_idx",
         "temperatures",
+        "top_ks",
+        "top_ps",
+        "seeds",
     ],
     meta_fields=[],
 )
@@ -44,6 +47,8 @@ class PrefillMeta:
     block_tables:   (B, NB) physical block ids (0-padded)
     last_flat_idx:  (B,)  flat index of each seq's last token (logits gather)
     temperatures:   (B,)  sampling temperature per seq
+    top_ks/top_ps:  (B,)  per-seq filtering (0 / 1.0 = disabled)
+    seeds:          (B,)  per-seq sampling seed (< 0 = unseeded)
     """
 
     slot_mapping: jnp.ndarray
@@ -55,11 +60,22 @@ class PrefillMeta:
     block_tables: jnp.ndarray
     last_flat_idx: jnp.ndarray
     temperatures: jnp.ndarray
+    top_ks: jnp.ndarray
+    top_ps: jnp.ndarray
+    seeds: jnp.ndarray
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["positions", "ctx_lens", "block_tables", "temperatures"],
+    data_fields=[
+        "positions",
+        "ctx_lens",
+        "block_tables",
+        "temperatures",
+        "top_ks",
+        "top_ps",
+        "seeds",
+    ],
     meta_fields=[],
 )
 @dataclass(frozen=True)
@@ -74,9 +90,14 @@ class DecodeMeta:
     ctx_lens:     (B,) total context length incl. the incoming token
     block_tables: (B, NB)
     temperatures: (B,)
+    top_ks/top_ps:(B,) per-seq filtering (0 / 1.0 = disabled)
+    seeds:        (B,) per-seq sampling seed (< 0 = unseeded)
     """
 
     positions: jnp.ndarray
     ctx_lens: jnp.ndarray
     block_tables: jnp.ndarray
     temperatures: jnp.ndarray
+    top_ks: jnp.ndarray
+    top_ps: jnp.ndarray
+    seeds: jnp.ndarray

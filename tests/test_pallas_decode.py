@@ -36,6 +36,9 @@ def oracle(q, k_pages, v_pages, bt, ctx, BSZ, scale):
         ctx_lens=ctx,
         block_tables=bt,
         temperatures=jnp.zeros(q.shape[0], jnp.float32),
+        top_ks=jnp.zeros(q.shape[0], jnp.int32),
+        top_ps=jnp.ones(q.shape[0], jnp.float32),
+        seeds=jnp.full(q.shape[0], -1, jnp.int32),
     )
     return paged_decode_attention(q, cache, 0, meta, BSZ, scale)
 

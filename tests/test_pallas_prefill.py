@@ -59,6 +59,9 @@ def build_case(key, Hq, Hkv, D, BSZ, NB_total, ctx_lens, cached_lens, dtype):
         block_tables=jnp.asarray(bt),
         last_flat_idx=jnp.asarray(last_flat_idx),
         temperatures=jnp.zeros(B, jnp.float32),
+        top_ks=jnp.zeros(B, jnp.int32),
+        top_ps=jnp.ones(B, jnp.float32),
+        seeds=jnp.full(B, -1, jnp.int32),
     )
     return q, cache, meta
 
