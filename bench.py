@@ -28,12 +28,12 @@ def main():
     from lightvllm_tpu.models import qwen3
     from lightvllm_tpu.sampling_params import SamplingParams
 
-    batch = int(os.environ.get("BENCH_BATCH", 32))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
     prompt_len = int(os.environ.get("BENCH_PROMPT", 128))
     decode_steps = int(os.environ.get("BENCH_STEPS", 64))
     quant = os.environ.get("BENCH_QUANT") or None  # int8 | int4
     kv = os.environ.get("BENCH_KV", "auto")  # auto | fp8
-    window = cfg_window = int(os.environ.get("BENCH_WINDOW", 8))
+    window = cfg_window = int(os.environ.get("BENCH_WINDOW", 16))
 
     spec = qwen3.ModelSpec(
         num_layers=28,

@@ -34,6 +34,7 @@ class Config:
     enforce_eager: bool = False  # True disables jit (debugging only)
     decode_window: int = 8  # decode steps fused per device dispatch
     compilation_cache_dir: str = "~/.cache/lightvllm_tpu/xla"  # "" disables
+    warmup_shapes: bool = True  # pre-compile decode (batch, window) shapes
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     decode_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
     prefill_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two

@@ -193,6 +193,59 @@ class ModelRunner:
         # Step statistics (SURVEY.md §5: structured per-step metrics).
         self.last_step_stats: dict = {}
 
+        if config.warmup_shapes and not config.enforce_eager:
+            self.warmup_decode_shapes()
+
+    def warmup_decode_shapes(self) -> None:
+        """Pre-compile every decode (batch-bucket, window) executable.
+
+        Under memory pressure the scheduler shrinks the window, and as
+        sequences finish the batch bucket shrinks — each new shape would
+        otherwise compile (seconds) in the middle of serving (measured:
+        3-4 s stalls per shape on the preemption path). Warm the full-batch
+        row across windows and the full-window column across batch buckets;
+        results land in the persistent compilation cache. Dummy tokens write
+        garbage KV into page 0, which is safe: any sequence later allocating
+        a page writes every slot it reads before attending over it.
+        """
+        if jax.default_backend() == "cpu":
+            return  # CPU tests: compile times are trivial, skip the churn
+        max_b = bucket(self.config.max_num_seqs, 8)
+        b_buckets = []
+        b = 8
+        while b <= max_b:
+            b_buckets.append(b)
+            b *= 2
+        windows = []
+        w = 1
+        while w <= self.config.decode_window:
+            windows.append(w)
+            w *= 2
+        shapes = [(max_b, w) for w in windows] + [
+            (b, windows[-1]) for b in b_buckets[:-1]
+        ]
+        key = jax.random.PRNGKey(0)
+        for B, w in shapes:
+            NB = self.config.max_blocks_per_seq
+            meta = DecodeMeta(
+                positions=jnp.zeros(B, jnp.int32),
+                ctx_lens=jnp.ones(B, jnp.int32),
+                block_tables=jnp.zeros((B, NB), jnp.int32),
+                temperatures=jnp.zeros(B, jnp.float32),
+                top_ks=jnp.zeros(B, jnp.int32),
+                top_ps=jnp.ones(B, jnp.float32),
+                seeds=jnp.full(B, -1, jnp.int32),
+            )
+            _, self.cache = self._decode(
+                self.params,
+                jnp.zeros(B, jnp.int32),
+                meta,
+                self.cache,
+                key,
+                w,
+                False,
+            )
+
     # ---------------- KV sizing ----------------
 
     def _size_kv_cache(self) -> int:
