@@ -36,6 +36,7 @@ class Config:
     compilation_cache_dir: str = "~/.cache/lightvllm_tpu/xla"  # "" disables
     warmup_shapes: bool = True  # pre-compile decode (batch, window) shapes
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
+    kernel_backend: str = "native"  # elementwise ops: "native" (XLA) | "pallas"
     decode_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
     prefill_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
     # --- model config (filled from HF config) ---
@@ -52,6 +53,7 @@ class Config:
         assert self.quantization in (None, "int8", "int4")
         assert self.kv_cache_dtype in ("auto", "fp8")
         assert self.attention_impl in ("auto", "jnp", "pallas")
+        assert self.kernel_backend in ("native", "pallas")
         if self.model:
             if self.hf_config is None:
                 from transformers import AutoConfig

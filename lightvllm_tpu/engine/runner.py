@@ -119,6 +119,11 @@ class ModelRunner:
                 }
             )
 
+        if config.kernel_backend != "native":
+            from lightvllm_tpu.ops.backend import set_kernel_backend
+
+            set_kernel_backend(config.kernel_backend)
+
         bs = self.block_size
         attn_impl = config.attention_impl
         if attn_impl == "auto":

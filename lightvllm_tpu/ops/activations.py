@@ -13,9 +13,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from lightvllm_tpu.ops import backend
+
 
 def swiglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU: SiLU(gate) * up, fp32 math."""
+    if backend.use_pallas():
+        from lightvllm_tpu.ops.pallas.elementwise import swiglu_pallas
+
+        return swiglu_pallas(gate, up)
     gf = gate.astype(jnp.float32)
     return (gf * jax.nn.sigmoid(gf) * up.astype(jnp.float32)).astype(gate.dtype)
 
