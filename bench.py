@@ -34,18 +34,30 @@ def main():
     quant = os.environ.get("BENCH_QUANT") or None  # int8 | int4
     kv = os.environ.get("BENCH_KV", "auto")  # auto | fp8
     window = cfg_window = int(os.environ.get("BENCH_WINDOW", 16))
+    model = os.environ.get("BENCH_MODEL", "0.6b")  # 0.6b | 1.7b | 4b | 8b
 
+    # Qwen3 family architectures (HF configs).
+    archs = {
+        "0.6b": dict(num_layers=28, hidden_size=1024, num_q_heads=16,
+                     num_kv_heads=8, intermediate_size=3072, tie=True),
+        "1.7b": dict(num_layers=28, hidden_size=2048, num_q_heads=16,
+                     num_kv_heads=8, intermediate_size=6144, tie=True),
+        "4b": dict(num_layers=36, hidden_size=2560, num_q_heads=32,
+                   num_kv_heads=8, intermediate_size=9728, tie=True),
+        "8b": dict(num_layers=36, hidden_size=4096, num_q_heads=32,
+                   num_kv_heads=8, intermediate_size=12288, tie=False),
+    }[model]
     spec = qwen3.ModelSpec(
-        num_layers=28,
-        hidden_size=1024,
-        num_q_heads=16,
-        num_kv_heads=8,
+        num_layers=archs["num_layers"],
+        hidden_size=archs["hidden_size"],
+        num_q_heads=archs["num_q_heads"],
+        num_kv_heads=archs["num_kv_heads"],
         head_dim=128,
-        intermediate_size=3072,
+        intermediate_size=archs["intermediate_size"],
         vocab_size=151936,
         rope_theta=1e6,
         rms_eps=1e-6,
-        tie_word_embeddings=True,
+        tie_word_embeddings=archs["tie"],
         dtype="bfloat16",
     )
     params = qwen3.init_params(spec, jax.random.PRNGKey(0), quantization=quant)
@@ -106,7 +118,7 @@ def main():
 
     tok_per_s = done / decode_s
     result = {
-        "metric": f"decode throughput Qwen3-0.6B {quant or 'bf16'} kv={kv} b{batch} w{cfg_window} (1 chip)",
+        "metric": f"decode throughput Qwen3-{model} {quant or 'bf16'} kv={kv} b{batch} w{cfg_window} (1 chip)",
         "value": round(tok_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_per_s / NORTH_STAR_TOK_S, 3),

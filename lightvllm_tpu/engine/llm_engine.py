@@ -162,6 +162,38 @@ class LLMEngine:
             **s,
         }
 
+    @property
+    def stats(self) -> dict:
+        """Structured engine state (SURVEY.md §5: the reference only has a
+        tqdm postfix; serving stacks need batch/blocks/cache visibility)."""
+        bm = self.scheduler.block_manager
+        return {
+            **self.throughput,
+            "waiting": len(self.scheduler.waiting),
+            "running": len(self.scheduler.running),
+            "preemptions": self.scheduler.num_preemptions,
+            "blocks_total": bm.num_blocks,
+            "blocks_free": bm.num_free_blocks,
+            "prefix_cache_hit_rate": (
+                bm.prefix_cache_hits / bm.prefix_cache_queries
+                if bm.prefix_cache_queries
+                else 0.0
+            ),
+            "last_step": dict(self.model_runner.last_step_stats),
+        }
+
+    def start_profile(self, trace_dir: str) -> None:
+        """Capture a device trace of subsequent steps (jax.profiler;
+        viewable in XProf/TensorBoard)."""
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+
+    def stop_profile(self) -> None:
+        import jax
+
+        jax.profiler.stop_trace()
+
     def exit(self) -> None:
         # No worker processes or SHM to tear down (single-controller JAX).
         pass

@@ -6,9 +6,10 @@ optionally tied embeddings; fused qkv and gate_up projections (the
 packed_modules_mapping at qwen3.py:292-298 becomes fusion at load time).
 
 TPU-first design:
-  - Weights are a pytree with layer-stacked leaves (L, ...); the decoder
-    stack is a single `lax.scan` (one compiled layer body, fast compiles).
-  - The KV cache is scan carry state updated in place (donated buffer).
+  - Weights are a pytree with layer-stacked leaves (L, ...) statically
+    sliced by an UNROLLED layer loop (see _decoder_stack for why scan's
+    dynamic slices are a measured 3x weight-bandwidth tax).
+  - The KV cache is per-layer buffers updated in place (donated).
   - No parallel-layer classes: sharding comes from PartitionSpecs on this
     pytree (parallel/sharding.py), and XLA/GSPMD inserts the collectives the
     reference issues manually (linear.py:389, embed_head.py:112,186).
@@ -90,16 +91,21 @@ def init_params(
     dt = spec.jnp_dtype
     E, D, L = spec.hidden_size, spec.head_dim, spec.num_layers
     Hq, Hkv, I = spec.num_q_heads, spec.num_kv_heads, spec.intermediate_size
-    keys = iter(jax.random.split(key, 8))
+    keys = iter(jax.random.split(key, 16))
 
     def w(key, shape):
         return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dt)
 
-    def maybe_q(x):
+    def stacked(key, shape):
+        """Layer-stacked (L, *shape) weight, generated and (optionally)
+        quantized ONE LAYER AT A TIME so transients stay ~1 layer of f32 —
+        an 8B model's full bf16 tree would not fit HBM before quantizing."""
+        per_layer = [w(jax.random.fold_in(key, i), shape) for i in range(L)]
         if quantization is None:
-            return x
+            return jnp.stack(per_layer)
         bits = 8 if quantization == "int8" else 4
-        return jax.vmap(lambda m: quantize_weight(m, bits, group_size))(x)
+        qs = [quantize_weight(m, bits, group_size) for m in per_layer]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
 
     # q/k/v and gate/up are separate tensors (not packed like the
     # reference's QKVParallelLinear / MergedColumnParallelLinear): packed
@@ -109,16 +115,16 @@ def init_params(
         "embed": w(next(keys), (spec.vocab_size, E)),
         "layers": {
             "input_ln": jnp.ones((L, E), dt),
-            "wq": maybe_q(w(next(keys), (L, E, Hq * D))),
-            "wk": maybe_q(w(next(keys), (L, E, Hkv * D))),
-            "wv": maybe_q(w(next(keys), (L, E, Hkv * D))),
+            "wq": stacked(next(keys), (E, Hq * D)),
+            "wk": stacked(next(keys), (E, Hkv * D)),
+            "wv": stacked(next(keys), (E, Hkv * D)),
             "q_norm": jnp.ones((L, D), dt),
             "k_norm": jnp.ones((L, D), dt),
-            "wo": maybe_q(w(next(keys), (L, Hq * D, E))),
+            "wo": stacked(next(keys), (Hq * D, E)),
             "post_ln": jnp.ones((L, E), dt),
-            "w_gate": maybe_q(w(next(keys), (L, E, I))),
-            "w_up": maybe_q(w(next(keys), (L, E, I))),
-            "w_down": maybe_q(w(next(keys), (L, I, E))),
+            "w_gate": stacked(next(keys), (E, I)),
+            "w_up": stacked(next(keys), (E, I)),
+            "w_down": stacked(next(keys), (I, E)),
         },
         "final_ln": jnp.ones((E,), dt),
         "lm_head": None if spec.tie_word_embeddings else w(next(keys), (E, spec.vocab_size)),
