@@ -20,6 +20,12 @@ extends range, and RMSNorm'd K / activation V never approach e4m3's +-448.
 Scale-free halves the bookkeeping, removes all scale DMAs from the attention
 kernels, and matches what production fp8-KV serving stacks default to. The
 perplexity harness gates the end-to-end quality delta (BASELINE.md).
+
+v5e performance note: this chip generation has no hardware e4m3 path, so
+the attention kernels' fp8->bf16 upcast is VPU-emulated (~13 ops/element,
+measured ~72 Gelem/s) — fp8 KV on v5e trades decode VPU time for 2x KV
+capacity (longer contexts / more sequences per chip). On fp8-native TPUs
+the same kernels run at full speed.
 """
 
 from __future__ import annotations

@@ -164,10 +164,12 @@ def _prefill_kernel(
         cd = jnp.bfloat16 if jnp.dtype(k_buf.dtype).itemsize < 2 else k_buf.dtype
         for h in range(num_kv_heads):
             q = q_ref[0, h].astype(jnp.float32) * scale  # (rows, D)
-            k = k_buf[buf_idx, :, h].reshape(chunk_tokens, -1)
+            # Cast before the sublane-merging reshape (slow relayout on
+            # 8-bit arrays; see the decode kernel).
+            k = k_buf[buf_idx, :, h].astype(cd).reshape(chunk_tokens, -1)
             s = jax.lax.dot_general(
                 q.astype(cd),
-                k.astype(cd),
+                k,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (rows, chunk_tokens)
@@ -183,9 +185,9 @@ def _prefill_kernel(
             m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(l_next, l_ref.shape[1:])
 
-            v = v_buf[buf_idx, :, h].reshape(chunk_tokens, -1)
+            v = v_buf[buf_idx, :, h].astype(cd).reshape(chunk_tokens, -1)
             o_cur = jax.lax.dot(
-                p.astype(cd), v.astype(cd), preferred_element_type=jnp.float32
+                p.astype(cd), v, preferred_element_type=jnp.float32
             )  # (rows, D)
             o_prev = o_ref[0, h]
             o_next = o_prev * alpha + o_cur
