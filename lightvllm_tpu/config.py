@@ -26,6 +26,7 @@ class Config:
     # --- quantization ---
     quantization: str | None = None  # None | "int8" | "int4"
     quant_group_size: int = 128  # group size along in_features for int4
+    quantized_checkpoint: str = ""  # .npz from tools/quantize_checkpoint.py
     kv_cache_dtype: str = "auto"  # "auto" (= model dtype) | "fp8"
     # --- parallelism ---
     tensor_parallel_size: int = 1

@@ -47,12 +47,19 @@ class LLMEngine:
                     self.config.hf_config, self.config.dtype
                 )
             if params is None:
-                params = mod.load_params(
-                    self.config.model_path,
-                    spec,
-                    self.config.quantization,
-                    self.config.quant_group_size,
-                )
+                if self.config.quantized_checkpoint:
+                    from lightvllm_tpu.utils.loader import load_saved_params
+
+                    params = load_saved_params(
+                        self.config.quantized_checkpoint, spec
+                    )
+                else:
+                    params = mod.load_params(
+                        self.config.model_path,
+                        spec,
+                        self.config.quantization,
+                        self.config.quant_group_size,
+                    )
         assert spec is not None and params is not None, (
             "provide a model path or explicit spec= and params="
         )

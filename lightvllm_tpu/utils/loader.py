@@ -64,42 +64,46 @@ def load_qwen3_params(
     def stack(fn):
         return jnp.stack([fn(i) for i in range(L)])
 
-    def maybe_quant(stacked: jnp.ndarray):
+    def stack_quant(fn):
+        """Stack per-layer linears, quantizing ONE LAYER AT A TIME so the
+        transients stay ~1 layer (an 8B model's full bf16 tree would not
+        fit HBM before quantization)."""
         if quantization is None:
-            return stacked
+            return stack(fn)
         bits = 8 if quantization == "int8" else 4
-        return jax.vmap(lambda m: quantize_weight(m, bits, group_size))(stacked)
+        qs = [quantize_weight(fn(i), bits, group_size) for i in range(L)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
 
     p = "model.layers.{}.{}"
     params = {
         "embed": get("model.embed_tokens.weight"),
         "layers": {
             "input_ln": stack(lambda i: get(p.format(i, "input_layernorm.weight"))),
-            "wq": maybe_quant(
-                stack(lambda i: linear(p.format(i, "self_attn.q_proj.weight")))
+            "wq": stack_quant(
+                lambda i: linear(p.format(i, "self_attn.q_proj.weight"))
             ),
-            "wk": maybe_quant(
-                stack(lambda i: linear(p.format(i, "self_attn.k_proj.weight")))
+            "wk": stack_quant(
+                lambda i: linear(p.format(i, "self_attn.k_proj.weight"))
             ),
-            "wv": maybe_quant(
-                stack(lambda i: linear(p.format(i, "self_attn.v_proj.weight")))
+            "wv": stack_quant(
+                lambda i: linear(p.format(i, "self_attn.v_proj.weight"))
             ),
             "q_norm": stack(lambda i: get(p.format(i, "self_attn.q_norm.weight"))),
             "k_norm": stack(lambda i: get(p.format(i, "self_attn.k_norm.weight"))),
-            "wo": maybe_quant(
-                stack(lambda i: linear(p.format(i, "self_attn.o_proj.weight")))
+            "wo": stack_quant(
+                lambda i: linear(p.format(i, "self_attn.o_proj.weight"))
             ),
             "post_ln": stack(
                 lambda i: get(p.format(i, "post_attention_layernorm.weight"))
             ),
-            "w_gate": maybe_quant(
-                stack(lambda i: linear(p.format(i, "mlp.gate_proj.weight")))
+            "w_gate": stack_quant(
+                lambda i: linear(p.format(i, "mlp.gate_proj.weight"))
             ),
-            "w_up": maybe_quant(
-                stack(lambda i: linear(p.format(i, "mlp.up_proj.weight")))
+            "w_up": stack_quant(
+                lambda i: linear(p.format(i, "mlp.up_proj.weight"))
             ),
-            "w_down": maybe_quant(
-                stack(lambda i: linear(p.format(i, "mlp.down_proj.weight")))
+            "w_down": stack_quant(
+                lambda i: linear(p.format(i, "mlp.down_proj.weight"))
             ),
         },
         "final_ln": get("model.norm.weight"),
@@ -109,4 +113,82 @@ def load_qwen3_params(
             else linear("lm_head.weight")
         ),
     }
+    return params
+
+
+# --- offline-quantized checkpoints (SURVEY.md §7 step 4) -------------------
+#
+# Format: one .npz holding every array leaf keyed by its pytree path, plus a
+# manifest of QuantizedTensor nodes {path: bits}. Quantize once offline with
+# tools/quantize_checkpoint.py, then serve without paying load-time
+# quantization (and without needing the bf16 checkpoint to fit in HBM).
+
+_QT_FIELDS = ("data", "scale")
+
+
+def save_params(params: dict, path: str) -> None:
+    """Serialize a (possibly quantized) param pytree to <path> (.npz)."""
+    from lightvllm_tpu.ops.quantization import QuantizedTensor
+
+    arrays: dict[str, np.ndarray] = {}
+    qt_bits: dict[str, int] = {}
+
+    def walk(node, prefix):
+        if node is None:
+            return
+        if isinstance(node, QuantizedTensor):
+            qt_bits[prefix] = node.bits
+            for f in _QT_FIELDS:
+                arrays[f"{prefix}.{f}"] = np.asarray(getattr(node, f))
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+            return
+        arrays[prefix] = np.asarray(node)
+
+    walk(params, "")
+    import json
+
+    arrays["__quantized__"] = np.frombuffer(
+        json.dumps(qt_bits).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_saved_params(path: str, spec: ModelSpec) -> dict:
+    """Load a param pytree saved by save_params."""
+    import json
+
+    from lightvllm_tpu.ops.quantization import QuantizedTensor
+
+    z = np.load(path)
+    qt_bits = json.loads(bytes(z["__quantized__"]).decode())
+    dt = spec.jnp_dtype
+
+    def arr(key):
+        a = z[key]
+        x = jnp.asarray(a)
+        return x.astype(dt) if x.dtype in (jnp.float32, jnp.bfloat16) else x
+
+    params: dict = {"layers": {}}
+    for key in z.files:
+        if key == "__quantized__" or "." in key:
+            continue
+        parts = key.split("/")
+        node = params
+        for p_ in parts[:-1]:
+            node = node.setdefault(p_, {})
+        node[parts[-1]] = arr(key)
+    for qpath, bits in qt_bits.items():
+        parts = qpath.split("/")
+        node = params
+        for p_ in parts[:-1]:
+            node = node.setdefault(p_, {})
+        node[parts[-1]] = QuantizedTensor(
+            data=jnp.asarray(z[f"{qpath}.data"]),
+            scale=jnp.asarray(z[f"{qpath}.scale"]),
+            bits=bits,
+        )
+    params.setdefault("lm_head", None)
     return params
