@@ -99,12 +99,16 @@ class LLMEngine:
         t0 = time.perf_counter()
         seqs, is_prefill, window = self.scheduler.schedule()
         token_ids = self.model_runner.run(seqs, is_prefill, window)
+        # Count prefill work BEFORE postprocess appends the sampled token.
+        prefill_n = (
+            sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else 0
+        )
         appended = self.scheduler.postprocess(seqs, token_ids)
         finished = [
             (s.seq_id, s.completion_token_ids) for s in seqs if s.is_finished
         ]
         if is_prefill:
-            n = sum(len(s) - s.num_cached_tokens for s in seqs)
+            n = prefill_n
             self._stats["prefill_tokens"] += n
             self._stats["prefill_s"] += time.perf_counter() - t0
         else:

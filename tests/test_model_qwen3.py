@@ -146,6 +146,22 @@ def test_continuous_batching_mixed_lengths(tiny_model_dir):
         assert res["token_ids"] == hf_greedy(hf_model, prompt, n)
 
 
+def test_engine_stats_surface(tiny_model_dir):
+    model_dir, _ = tiny_model_dir
+    engine = make_engine(model_dir)
+    engine.generate(
+        [[1, 2, 3]],
+        SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True),
+        use_tqdm=False,
+    )
+    s = engine.stats
+    assert s["decode_tokens"] >= 2 and s["prefill_tokens"] == 3
+    assert s["blocks_free"] == s["blocks_total"]  # all freed after finish
+    assert s["running"] == 0 and s["waiting"] == 0
+    assert 0.0 <= s["prefix_cache_hit_rate"] <= 1.0
+    assert s["last_step"]["num_seqs"] == 1
+
+
 def test_sampled_decode_is_reproducible(tiny_model_dir):
     model_dir, _ = tiny_model_dir
     outs = []
