@@ -8,6 +8,11 @@ BENCH_MODEL, BENCH_QUANT, BENCH_KV, BENCH_PROMPT, BENCH_BATCH.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 import time

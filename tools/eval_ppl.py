@@ -12,6 +12,11 @@ gate: <= 0.1 for INT8, <= 0.5 for INT4).
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

@@ -13,6 +13,11 @@ no load-time quantization, and the bf16 tree never has to fit in HBM.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 
