@@ -23,9 +23,15 @@ def _qwen3_module():
     )
 
 
+# Qwen2 and Llama reuse the generalized Qwen3 module: identical HF tensor
+# names; ModelSpec.from_hf_config flips qk_norm/qkv_bias per model_type.
 _REGISTRY = {
     "Qwen3ForCausalLM": _qwen3_module,
     "qwen3": _qwen3_module,
+    "Qwen2ForCausalLM": _qwen3_module,
+    "qwen2": _qwen3_module,
+    "LlamaForCausalLM": _qwen3_module,
+    "llama": _qwen3_module,
 }
 
 

@@ -52,6 +52,10 @@ class ModelSpec:
     rms_eps: float
     tie_word_embeddings: bool
     dtype: str = "bfloat16"
+    # Family switches: Qwen3 uses per-head q/k RMSNorm and no projection
+    # bias; Llama uses neither norm nor bias; Qwen2 adds qkv bias.
+    qk_norm: bool = True
+    qkv_bias: bool = False
 
     @property
     def jnp_dtype(self):
@@ -66,7 +70,10 @@ class ModelSpec:
         head_dim = getattr(hf_config, "head_dim", None) or (
             hf_config.hidden_size // hf_config.num_attention_heads
         )
+        model_type = getattr(hf_config, "model_type", "qwen3")
         return ModelSpec(
+            qk_norm=model_type == "qwen3",
+            qkv_bias=model_type == "qwen2",
             num_layers=hf_config.num_hidden_layers,
             hidden_size=hf_config.hidden_size,
             num_q_heads=hf_config.num_attention_heads,
@@ -118,8 +125,11 @@ def init_params(
             "wq": stacked(next(keys), (E, Hq * D)),
             "wk": stacked(next(keys), (E, Hkv * D)),
             "wv": stacked(next(keys), (E, Hkv * D)),
-            "q_norm": jnp.ones((L, D), dt),
-            "k_norm": jnp.ones((L, D), dt),
+            "q_norm": jnp.ones((L, D), dt) if spec.qk_norm else None,
+            "k_norm": jnp.ones((L, D), dt) if spec.qk_norm else None,
+            "bq": jnp.zeros((L, Hq * D), dt) if spec.qkv_bias else None,
+            "bk": jnp.zeros((L, Hkv * D), dt) if spec.qkv_bias else None,
+            "bv": jnp.zeros((L, Hkv * D), dt) if spec.qkv_bias else None,
             "wo": stacked(next(keys), (Hq * D, E)),
             "post_ln": jnp.ones((L, E), dt),
             "w_gate": stacked(next(keys), (E, I)),
@@ -149,11 +159,19 @@ def _decoder_stack(
     def layer_fn(h, cache, lp, layer_idx):
         # --- attention block ---
         normed = rms_norm(h, lp["input_ln"], spec.rms_eps)
-        q = matmul(normed, lp["wq"]).reshape(T, Hq, D)
-        k = matmul(normed, lp["wk"]).reshape(T, Hkv, D)
-        v = matmul(normed, lp["wv"]).reshape(T, Hkv, D)
-        q = rms_norm(q, lp["q_norm"], spec.rms_eps)
-        k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+        q = matmul(normed, lp["wq"])
+        k = matmul(normed, lp["wk"])
+        v = matmul(normed, lp["wv"])
+        if spec.qkv_bias:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = q.reshape(T, Hq, D)
+        k = k.reshape(T, Hkv, D)
+        v = v.reshape(T, Hkv, D)
+        if spec.qk_norm:
+            q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+            k = rms_norm(k, lp["k_norm"], spec.rms_eps)
         q, k = apply_rope(q, k, positions, spec.rope_theta)
         cache = write_kv_layer(cache, layer_idx, k, v, slot_mapping)
         attn = attn_fn(q, cache, layer_idx)
@@ -172,7 +190,10 @@ def _decoder_stack(
     # measured 18 ms vs the 6 ms weight-read floor at decode b32). Static
     # slices from the unrolled loop feed the MXU directly with no copy.
     for i in range(spec.num_layers):
-        lp = jax.tree.map(lambda x, i=i: x[i], params["layers"])
+        lp = {
+            k_: (None if v_ is None else jax.tree.map(lambda x, i=i: x[i], v_))
+            for k_, v_ in params["layers"].items()
+        }
         h, cache = layer_fn(h, cache, lp, i)
     h = rms_norm(h, params["final_ln"], spec.rms_eps)
     return h, cache

@@ -47,21 +47,32 @@ def _qspec(out_spec: P, w) -> object:
 
 
 def param_specs(params: dict) -> dict:
+    """Specs keyed off the params actually present (family switches may
+    omit q/k norms or include qkv biases; offline checkpoints drop None
+    leaves entirely)."""
     ly = params["layers"]
+    column = P(None, None, "model")  # out-features split
+    row = P(None, "model", None)  # in-features split (-> psum)
+    per_key = {
+        "input_ln": lambda v: P(None, None),
+        "wq": lambda v: _qspec(column, v),
+        "wk": lambda v: _qspec(column, v),
+        "wv": lambda v: _qspec(column, v),
+        "q_norm": lambda v: P(None, None),
+        "k_norm": lambda v: P(None, None),
+        "bq": lambda v: P(None, "model"),
+        "bk": lambda v: P(None, "model"),
+        "bv": lambda v: P(None, "model"),
+        "wo": lambda v: _qspec(row, v),
+        "post_ln": lambda v: P(None, None),
+        "w_gate": lambda v: _qspec(column, v),
+        "w_up": lambda v: _qspec(column, v),
+        "w_down": lambda v: _qspec(row, v),
+    }
     specs = {
         "embed": P("model", None),
         "layers": {
-            "input_ln": P(None, None),
-            "wq": _qspec(P(None, None, "model"), ly["wq"]),
-            "wk": _qspec(P(None, None, "model"), ly["wk"]),
-            "wv": _qspec(P(None, None, "model"), ly["wv"]),
-            "q_norm": P(None, None),
-            "k_norm": P(None, None),
-            "wo": _qspec(P(None, "model", None), ly["wo"]),
-            "post_ln": P(None, None),
-            "w_gate": _qspec(P(None, None, "model"), ly["w_gate"]),
-            "w_up": _qspec(P(None, None, "model"), ly["w_up"]),
-            "w_down": _qspec(P(None, "model", None), ly["w_down"]),
+            k: (None if v is None else per_key[k](v)) for k, v in ly.items()
         },
         "final_ln": P(None),
         "lm_head": None if params.get("lm_head") is None else P(None, "model"),

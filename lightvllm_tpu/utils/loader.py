@@ -1,5 +1,8 @@
 """Checkpoint loading: HF safetensors -> layer-stacked JAX pytree.
 
+Handles the Qwen3/Qwen2/Llama family (same HF tensor names; Qwen3 adds
+q/k norms, Qwen2 adds qkv biases — selected by ModelSpec switches).
+
 Parity: reference `lightvllm/utils/loader.py:23-91` (streams *.safetensors,
 routes packed q/k/v and gate/up weights through per-param shard loaders via
 packed_modules_mapping). Here q/k/v and gate/up stay separate tensors —
@@ -88,8 +91,31 @@ def load_qwen3_params(
             "wv": stack_quant(
                 lambda i: linear(p.format(i, "self_attn.v_proj.weight"))
             ),
-            "q_norm": stack(lambda i: get(p.format(i, "self_attn.q_norm.weight"))),
-            "k_norm": stack(lambda i: get(p.format(i, "self_attn.k_norm.weight"))),
+            "q_norm": (
+                stack(lambda i: get(p.format(i, "self_attn.q_norm.weight")))
+                if spec.qk_norm
+                else None
+            ),
+            "k_norm": (
+                stack(lambda i: get(p.format(i, "self_attn.k_norm.weight")))
+                if spec.qk_norm
+                else None
+            ),
+            "bq": (
+                stack(lambda i: get(p.format(i, "self_attn.q_proj.bias")))
+                if spec.qkv_bias
+                else None
+            ),
+            "bk": (
+                stack(lambda i: get(p.format(i, "self_attn.k_proj.bias")))
+                if spec.qkv_bias
+                else None
+            ),
+            "bv": (
+                stack(lambda i: get(p.format(i, "self_attn.v_proj.bias")))
+                if spec.qkv_bias
+                else None
+            ),
             "wo": stack_quant(
                 lambda i: linear(p.format(i, "self_attn.o_proj.weight"))
             ),
