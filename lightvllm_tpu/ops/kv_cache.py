@@ -123,6 +123,17 @@ def write_kv_layer(
     slot_mapping: jnp.ndarray,  # (T,) int32 = block*BSZ + offset; PAD dropped
 ) -> KVCache:
     bs = cache.block_size
+    k = list(cache.k)
+    v = list(cache.v)
+    k_q = to_kv_dtype(k_new, k[layer].dtype)
+    v_q = to_kv_dtype(v_new, v[layer].dtype)
+    # NOTE: XLA lowers this scatter to a serial per-row loop (~3.5 ms/step
+    # at decode b64 across 28 layers, ~20% of the step). A Pallas in-place
+    # DMA append exists (ops/pallas/kv_append.py) but Mosaic requires bf16
+    # HBM DMA destinations to be 2-sublane aligned, which single-token row
+    # writes violate; candidate fixes (pair read-modify-write, token-major
+    # pages) each trade against the attention kernels' layout. Known
+    # next-round optimization.
     blocks = slot_mapping // bs
     offsets = slot_mapping % bs
     heads = jnp.arange(cache.k[layer].shape[1], dtype=slot_mapping.dtype)
@@ -133,10 +144,8 @@ def write_kv_layer(
     # kernels' default layout and inserts FULL-CACHE layout-conversion
     # copies every layer (measured 25 ms/layer on a 13 GB cache).
     idx = (blocks[:, None], heads[None, :], offsets[:, None])
-    k = list(cache.k)
-    v = list(cache.v)
-    k[layer] = k[layer].at[idx].set(to_kv_dtype(k_new, k[layer].dtype), mode="drop")
-    v[layer] = v[layer].at[idx].set(to_kv_dtype(v_new, v[layer].dtype), mode="drop")
+    k[layer] = k[layer].at[idx].set(k_q, mode="drop")
+    v[layer] = v[layer].at[idx].set(v_q, mode="drop")
     return KVCache(k=tuple(k), v=tuple(v))
 
 
