@@ -25,6 +25,9 @@ from lightvllm_tpu.sampling_params import SamplingParams
 
 class LLMEngine:
     def __init__(self, model: str = "", **kwargs):
+        from lightvllm_tpu.parallel.distributed import maybe_init_distributed
+
+        maybe_init_distributed()  # no-op off multi-host pods
         config_kwargs = {
             k: v for k, v in kwargs.items() if k in {f.name for f in fields(Config)}
         }
