@@ -86,10 +86,19 @@ class LLMEngine:
         if isinstance(prompt, str):
             assert self.tokenizer is not None, "string prompt needs a tokenizer"
             prompt = self.tokenizer.encode(prompt)
-        assert len(prompt) <= self.config.max_model_len, "prompt exceeds max_model_len"
+        # A near-max prompt must not decode past max_model_len: the runner's
+        # fixed-width block tables are sized for max_model_len, so an
+        # unclamped max_tokens would overrun them mid-serving.
+        room = self.config.max_model_len - len(prompt)
+        if room < 1:
+            raise ValueError(
+                f"prompt length {len(prompt)} leaves no room to decode within "
+                f"max_model_len={self.config.max_model_len}"
+            )
         seq = Sequence(
             prompt, sampling_params, block_size=self.config.kvcache_block_size
         )
+        seq.max_tokens = min(seq.max_tokens, room)
         self.scheduler.add(seq)
         return seq.seq_id
 

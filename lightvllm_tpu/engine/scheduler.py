@@ -89,7 +89,17 @@ class Scheduler:
         # Phase 2: decode batching over an n-step window. The window shrinks
         # to the smallest remaining token budget in the batch so no step is
         # wasted past a sequence's max_tokens.
-        assert self.running, "schedule() called on a finished engine"
+        if not self.running:
+            if self.waiting:
+                # A waiting sequence that can never be admitted (its prompt
+                # needs more blocks than the whole pool) — a config problem,
+                # not a caller bug.
+                raise RuntimeError(
+                    "KV cache too small: a waiting prompt needs more blocks "
+                    "than the pool holds (increase num_kvcache_blocks or "
+                    "reduce max_model_len)"
+                )
+            raise AssertionError("schedule() called on a finished engine")
         window = self.decode_window
         for seq in self.running:
             window = min(window, max(1, seq.max_tokens - seq.num_completion_tokens))

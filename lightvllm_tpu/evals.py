@@ -3,9 +3,10 @@
 The quantization quality gate from BASELINE.md (ppl delta <= 0.1 for INT8,
 <= 0.5 for INT4 vs BF16). The reference has no evaluation harness at all
 (SURVEY.md §2.10); this one drives the same jitted forward path the engine
-serves with (paged cache + prefill metadata), so the measured quality
-includes every serving-path approximation (quantized matmuls, fp8 KV, the
-attention kernels) rather than an idealized offline dequant.
+serves with (paged cache + prefill metadata), so the measured quality can
+include every serving-path approximation — quantized matmuls always, fp8 KV
+via kv_cache_dtype="fp8", the Pallas attention kernels via attn_impl —
+rather than an idealized offline dequant.
 
 Loss is computed inside jit in vocab chunks so the (T, V) logits matrix is
 never materialized (Qwen3's 151k vocab x 2k window would be 1.2 GB f32).
@@ -25,7 +26,9 @@ from lightvllm_tpu.ops.kv_cache import alloc_kv_cache
 from lightvllm_tpu.utils.metadata import PrefillMeta
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "block_size", "attn_impl"))
+@functools.partial(
+    jax.jit, static_argnames=("spec", "block_size", "attn_impl", "fp8")
+)
 def _window_nll(
     params: dict,
     spec,
@@ -33,13 +36,14 @@ def _window_nll(
     n_valid: jnp.ndarray,  # scalar: real tokens in the window
     block_size: int,
     attn_impl: str,
+    fp8: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sum of -log p(token[i+1] | tokens[:i+1]) over valid positions."""
     T = token_ids.shape[0]
     NB = -(-T // block_size)
     cache = alloc_kv_cache(
         spec.num_layers, spec.num_kv_heads, NB, block_size, spec.head_dim,
-        spec.jnp_dtype, fp8=False,
+        spec.jnp_dtype, fp8=fp8,
     )
     meta = PrefillMeta(
         slot_mapping=jnp.arange(T, dtype=jnp.int32),
@@ -95,11 +99,16 @@ def evaluate_ppl(
     window: int = 1024,
     block_size: int = 64,
     attn_impl: str = "jnp",
+    kv_cache_dtype: str = "auto",  # "auto" (model dtype) | "fp8"
 ) -> dict:
     """Non-overlapping-window perplexity over a token stream.
 
-    Returns {"ppl", "nll_per_token", "tokens"}.
+    attn_impl and kv_cache_dtype select the same serving-path variants the
+    engine runs with (Pallas attention kernels, fp8 KV), so the gate measures
+    exactly what production serves. Returns {"ppl", "nll_per_token",
+    "tokens"}.
     """
+    fp8 = kv_cache_dtype == "fp8"
     tokens = np.asarray(tokens, np.int32)
     total_nll, total_cnt = 0.0, 0
     for start in range(0, len(tokens), window):
@@ -110,7 +119,8 @@ def evaluate_ppl(
         if len(w) < window:
             w = np.pad(w, (0, window - len(w)))
         nll, cnt = _window_nll(
-            params, spec, jnp.asarray(w), jnp.int32(n_valid), block_size, attn_impl
+            params, spec, jnp.asarray(w), jnp.int32(n_valid), block_size,
+            attn_impl, fp8,
         )
         total_nll += float(nll)
         total_cnt += int(cnt)

@@ -56,6 +56,12 @@ class ModelSpec:
     # bias; Llama uses neither norm nor bias; Qwen2 adds qkv bias.
     qk_norm: bool = True
     qkv_bias: bool = False
+    # Normalized rope_scaling (hashable tuple from ops.rope); None = vanilla
+    # RoPE. Unsupported HF schemes are rejected at from_hf_config — the
+    # reference asserts them away (rotary_embedding.py:158); silently
+    # ignoring them would produce wrong numerics on Llama-3.x/YaRN
+    # checkpoints.
+    rope_scaling: tuple | None = None
 
     @property
     def jnp_dtype(self):
@@ -71,9 +77,14 @@ class ModelSpec:
             hf_config.hidden_size // hf_config.num_attention_heads
         )
         model_type = getattr(hf_config, "model_type", "qwen3")
+        from lightvllm_tpu.ops.rope import normalize_rope_scaling
+
         return ModelSpec(
             qk_norm=model_type == "qwen3",
             qkv_bias=model_type == "qwen2",
+            rope_scaling=normalize_rope_scaling(
+                getattr(hf_config, "rope_scaling", None)
+            ),
             num_layers=hf_config.num_hidden_layers,
             hidden_size=hf_config.hidden_size,
             num_q_heads=hf_config.num_attention_heads,
@@ -172,7 +183,7 @@ def _decoder_stack(
         if spec.qk_norm:
             q = rms_norm(q, lp["q_norm"], spec.rms_eps)
             k = rms_norm(k, lp["k_norm"], spec.rms_eps)
-        q, k = apply_rope(q, k, positions, spec.rope_theta)
+        q, k = apply_rope(q, k, positions, spec.rope_theta, spec.rope_scaling)
         cache = write_kv_layer(cache, layer_idx, k, v, slot_mapping)
         attn = attn_fn(q, cache, layer_idx)
         o = matmul(attn.reshape(T, Hq * D), lp["wo"])

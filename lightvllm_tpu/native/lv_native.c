@@ -121,7 +121,10 @@ void lv_fill_slots(const int32_t* block_table, int32_t bs, int64_t start,
     int32_t base = block_table[blk] * bs;
     for (int64_t j = 0; j < n; j++) {
         out[j] = base + off;
-        if (++off == bs) {
+        /* Only refresh the base when another iteration remains: if the last
+         * written slot ends exactly on a block boundary, blk+1 is past the
+         * end of block_table (heap over-read / UB). */
+        if (++off == bs && j + 1 < n) {
             off = 0;
             blk++;
             base = block_table[blk] * bs;

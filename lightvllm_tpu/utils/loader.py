@@ -152,12 +152,28 @@ def load_qwen3_params(
 _QT_FIELDS = ("data", "scale")
 
 
+def _to_portable(a: np.ndarray) -> tuple[np.ndarray, str | None]:
+    """np.savez serializes ml_dtypes bfloat16 as opaque void ('|V2'), which
+    np.load returns unusable. Store bf16 as a uint16 bit-view and record the
+    original dtype so load can restore it."""
+    if a.dtype.name == "bfloat16":
+        return a.view(np.uint16), "bfloat16"
+    return a, None
+
+
 def save_params(params: dict, path: str) -> None:
     """Serialize a (possibly quantized) param pytree to <path> (.npz)."""
     from lightvllm_tpu.ops.quantization import QuantizedTensor
 
     arrays: dict[str, np.ndarray] = {}
     qt_bits: dict[str, int] = {}
+    dtypes: dict[str, str] = {}
+
+    def put(key: str, a: np.ndarray) -> None:
+        a, orig = _to_portable(a)
+        if orig is not None:
+            dtypes[key] = orig
+        arrays[key] = a
 
     def walk(node, prefix):
         if node is None:
@@ -165,19 +181,22 @@ def save_params(params: dict, path: str) -> None:
         if isinstance(node, QuantizedTensor):
             qt_bits[prefix] = node.bits
             for f in _QT_FIELDS:
-                arrays[f"{prefix}.{f}"] = np.asarray(getattr(node, f))
+                put(f"{prefix}.{f}", np.asarray(getattr(node, f)))
             return
         if isinstance(node, dict):
             for k, v in node.items():
                 walk(v, f"{prefix}/{k}" if prefix else k)
             return
-        arrays[prefix] = np.asarray(node)
+        put(prefix, np.asarray(node))
 
     walk(params, "")
     import json
 
     arrays["__quantized__"] = np.frombuffer(
         json.dumps(qt_bits).encode(), dtype=np.uint8
+    )
+    arrays["__dtypes__"] = np.frombuffer(
+        json.dumps(dtypes).encode(), dtype=np.uint8
     )
     np.savez(path, **arrays)
 
@@ -190,16 +209,26 @@ def load_saved_params(path: str, spec: ModelSpec) -> dict:
 
     z = np.load(path)
     qt_bits = json.loads(bytes(z["__quantized__"]).decode())
+    dtypes = (
+        json.loads(bytes(z["__dtypes__"]).decode()) if "__dtypes__" in z else {}
+    )
     dt = spec.jnp_dtype
 
-    def arr(key):
+    def raw(key):
         a = z[key]
-        x = jnp.asarray(a)
+        if dtypes.get(key) == "bfloat16":
+            import ml_dtypes
+
+            a = a.view(ml_dtypes.bfloat16)
+        return a
+
+    def arr(key):
+        x = jnp.asarray(raw(key))
         return x.astype(dt) if x.dtype in (jnp.float32, jnp.bfloat16) else x
 
     params: dict = {"layers": {}}
     for key in z.files:
-        if key == "__quantized__" or "." in key:
+        if key in ("__quantized__", "__dtypes__") or "." in key:
             continue
         parts = key.split("/")
         node = params
@@ -212,8 +241,8 @@ def load_saved_params(path: str, spec: ModelSpec) -> dict:
         for p_ in parts[:-1]:
             node = node.setdefault(p_, {})
         node[parts[-1]] = QuantizedTensor(
-            data=jnp.asarray(z[f"{qpath}.data"]),
-            scale=jnp.asarray(z[f"{qpath}.scale"]),
+            data=jnp.asarray(raw(f"{qpath}.data")),
+            scale=jnp.asarray(raw(f"{qpath}.scale")),
             bits=bits,
         )
     params.setdefault("lm_head", None)

@@ -22,10 +22,24 @@ def make_hf(tmp_path_factory, kind):
         max_position_embeddings=256, rope_theta=10000.0, rms_norm_eps=1e-6,
         tie_word_embeddings=False, torch_dtype="float32",
     )
-    if kind == "llama":
+    if kind in ("llama", "llama3_scaled", "yarn_scaled"):
         from transformers import LlamaConfig, LlamaForCausalLM
 
-        cfg = LlamaConfig(attention_bias=False, **common)
+        rope_scaling = None
+        if kind == "llama3_scaled":
+            rope_scaling = {
+                "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+                "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 32,
+            }
+        elif kind == "yarn_scaled":
+            rope_scaling = {
+                "rope_type": "yarn", "factor": 4.0,
+                "original_max_position_embeddings": 64,
+            }
+        cfg = LlamaConfig(
+            attention_bias=False, rope_scaling=rope_scaling, **common
+        )
         model = LlamaForCausalLM(cfg).eval()
     else:
         from transformers import Qwen2Config, Qwen2ForCausalLM
@@ -51,7 +65,9 @@ def hf_greedy(model, prompt, n):
     return out[0, len(prompt):].tolist()
 
 
-@pytest.mark.parametrize("kind", ["llama", "qwen2"])
+@pytest.mark.parametrize(
+    "kind", ["llama", "qwen2", "llama3_scaled", "yarn_scaled"]
+)
 def test_family_greedy_matches_hf(tmp_path_factory, kind):
     model_dir, hf_model = make_hf(tmp_path_factory, kind)
     llm = LLM(
@@ -60,8 +76,10 @@ def test_family_greedy_matches_hf(tmp_path_factory, kind):
         eos=VOCAB - 1,
     )
     spec = llm.model_runner.spec
-    assert spec.qk_norm == (kind == "qwen3")  # both families: False
+    assert spec.qk_norm is False  # no qwen3 in this matrix
     assert spec.qkv_bias == (kind == "qwen2")
+    if kind.endswith("_scaled"):
+        assert spec.rope_scaling is not None  # silently ignoring = wrong math
     prompts = [[1, 5, 9, 2, 7, 3], [4, 8, 6, 10]]
     res = llm.generate(
         prompts,

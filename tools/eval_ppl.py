@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--compare", action="store_true")
     ap.add_argument("--max-tokens", type=int, default=0)
+    ap.add_argument("--kv", choices=["auto", "fp8"], default="auto",
+                    help="KV cache dtype for the quantized run")
+    ap.add_argument("--attn", choices=["jnp", "pallas"], default="jnp",
+                    help="attention implementation (pallas = serving kernels)")
     args = ap.parse_args()
 
     from transformers import AutoConfig, AutoTokenizer
@@ -54,16 +58,21 @@ def main() -> None:
     mod = get_model_module(hf_config)
     spec = mod.ModelSpec.from_hf_config(hf_config)
 
-    def run(quant):
+    def run(quant, kv="auto"):
         params = mod.load_params(args.model, spec, quant, args.group_size)
-        r = evaluate_ppl(params, spec, tokens, window=args.window)
+        r = evaluate_ppl(
+            params, spec, tokens, window=args.window,
+            attn_impl=args.attn, kv_cache_dtype=kv,
+        )
         r["quant"] = quant or "bf16"
+        r["kv"] = kv
+        r["attn"] = args.attn
         return r
 
     results = []
-    if args.compare and args.quant:
+    if args.compare and (args.quant or args.kv != "auto"):
         results.append(run(None))
-    results.append(run(args.quant))
+    results.append(run(args.quant, args.kv))
     if len(results) == 2:
         results[1]["ppl_delta_vs_bf16"] = results[1]["ppl"] - results[0]["ppl"]
     for r in results:
