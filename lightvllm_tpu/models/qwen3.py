@@ -158,14 +158,18 @@ def _decoder_stack(
     spec: ModelSpec,
     token_ids: jnp.ndarray,  # (T,) int32
     positions: jnp.ndarray,  # (T,) int32
-    cache: KVCache,
-    slot_mapping: jnp.ndarray,  # (T,)
-    attn_fn: Callable,  # (q, cache, layer) -> attn out, q shaped (T, Hq, D)
+    cache,  # KV state threaded through write_fn/attn_fn (cache or staging)
+    slot_mapping: jnp.ndarray | None,  # (T,); None with a custom write_fn
+    attn_fn: Callable,  # (q, kv_state, layer) -> attn out, q (T, Hq, D)
+    write_fn: Callable | None = None,  # (kv_state, layer, k, v) -> kv_state
 ) -> tuple[jnp.ndarray, KVCache]:
     dt = spec.jnp_dtype
     T = token_ids.shape[0]
     Hq, Hkv, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
     h = jnp.take(params["embed"], token_ids, axis=0).astype(dt)
+    if write_fn is None:
+        def write_fn(state, layer_idx, k, v):
+            return write_kv_layer(state, layer_idx, k, v, slot_mapping)
 
     def layer_fn(h, cache, lp, layer_idx):
         # --- attention block ---
@@ -184,7 +188,7 @@ def _decoder_stack(
             q = rms_norm(q, lp["q_norm"], spec.rms_eps)
             k = rms_norm(k, lp["k_norm"], spec.rms_eps)
         q, k = apply_rope(q, k, positions, spec.rope_theta, spec.rope_scaling)
-        cache = write_kv_layer(cache, layer_idx, k, v, slot_mapping)
+        cache = write_fn(cache, layer_idx, k, v)
         attn = attn_fn(q, cache, layer_idx)
         o = matmul(attn.reshape(T, Hq * D), lp["wo"])
         # --- MLP block (fused add+norm, reference layernorm.py:52-80) ---
@@ -300,3 +304,66 @@ def forward_decode(
         params, spec, token_ids, jnp.maximum(pos, 0), cache, slots, attn_fn
     )
     return compute_logits(params, spec, h), cache
+
+
+def forward_decode_staged(
+    params: dict,
+    spec: ModelSpec,
+    token_ids: jnp.ndarray,  # (B,) current tokens (position base_pos + step)
+    meta: DecodeMeta,  # BASE window metadata (positions = step-0 positions)
+    cache: KVCache,  # paged cache, READ-ONLY during the window
+    staging: KVCache,  # per-layer (B, Hkv, W, D) dense window staging
+    step: jnp.ndarray,  # scalar int32: index within the decode window
+    block_size: int,
+    attn_impl: str = "jnp",  # "jnp" | "pallas"
+) -> tuple[jnp.ndarray, KVCache]:
+    """One step of the window-staged decode (VERDICT r1 missing#1).
+
+    The per-step KV write is a vectorized dynamic_update_slice into a dense
+    staging buffer (the step index is the same for every sequence — no
+    scatter), attention folds the staged tail over the paged context, and
+    the runner flushes staging -> pages once per window
+    (ops/pallas/kv_append.kv_flush_pallas). The paged cache is read-only
+    here, which also removes the scatter/kernel-read copy hazards XLA had
+    to work around.
+
+    Page context excludes the window's base position row (the step-0 input
+    token is already in pages from prefill, but is re-staged so the staged
+    tail is self-contained; masking pos < base_pos avoids double counting).
+    """
+    scale = spec.head_dim**-0.5
+    pos = meta.positions + step  # current token positions
+    pages_ctx = meta.positions  # pages rows attended: 0 .. base_pos - 1
+    stage_len = step + 1
+
+    def write_fn(stage: KVCache, layer: int, k, v) -> KVCache:
+        # k/v (B, Hkv, D) -> staging row `step` (same index for all seqs:
+        # a vectorized dynamic_update_slice, not a scatter).
+        st_dt = stage.k[layer].dtype
+        nk, nv = list(stage.k), list(stage.v)
+        nk[layer] = jax.lax.dynamic_update_slice_in_dim(
+            nk[layer], k.astype(st_dt)[:, :, None, :], step, axis=2
+        )
+        nv[layer] = jax.lax.dynamic_update_slice_in_dim(
+            nv[layer], v.astype(st_dt)[:, :, None, :], step, axis=2
+        )
+        return KVCache(k=tuple(nk), v=tuple(nv))
+
+    def attn_fn(q, stage: KVCache, layer: int):
+        kw = dict(
+            k_stage=stage.k[layer], v_stage=stage.v[layer],
+            stage_len=stage_len, pages_ctx=pages_ctx,
+        )
+        if attn_impl == "pallas":
+            return paged_decode_attention_pallas(
+                q, cache, layer, meta, block_size, scale, **kw
+            )
+        return paged_decode_attention(
+            q, cache, layer, meta, block_size, scale, **kw
+        )
+
+    h, staging = _decoder_stack(
+        params, spec, token_ids, jnp.maximum(pos, 0), staging, None,
+        attn_fn, write_fn=write_fn,
+    )
+    return compute_logits(params, spec, h), staging

@@ -121,9 +121,15 @@ def paged_decode_attention_pallas(
     block_size: int,
     scale: float,
     interpret: bool = False,
+    k_stage: jnp.ndarray | None = None,  # (B, Hkv, W, D) window staging
+    v_stage: jnp.ndarray | None = None,
+    stage_len: jnp.ndarray | None = None,  # scalar: valid staged rows
+    pages_ctx: jnp.ndarray | None = None,  # (B,) paged-context override
 ) -> jnp.ndarray:
     """Pallas flash-decode over HBM pages (ops/pallas/decode_attention.py).
-    Scale-free e4m3 caches ride the same kernel (bf16 at the MXU)."""
+    Scale-free e4m3 caches ride the same kernel (bf16 at the MXU). With
+    window staging (the staged decode path) the kernel additionally folds
+    the dense unflushed tail into its online softmax."""
     from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
 
     return paged_flash_decode(
@@ -131,7 +137,10 @@ def paged_decode_attention_pallas(
         cache.k[layer],
         cache.v[layer],
         meta.block_tables,
-        meta.ctx_lens,
+        meta.ctx_lens if pages_ctx is None else pages_ctx,
+        k_stage,
+        v_stage,
+        stage_len,
         block_size=block_size,
         scale=scale,
         interpret=interpret,
@@ -145,14 +154,31 @@ def paged_decode_attention(
     meta: DecodeMeta,
     block_size: int,
     scale: float,
+    k_stage: jnp.ndarray | None = None,  # (B, Hkv, W, D) window staging
+    v_stage: jnp.ndarray | None = None,
+    stage_len: jnp.ndarray | None = None,
+    pages_ctx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:  # (B, Hq, D)
     k, v = gather_kv_for_seqs(
         cache, layer, meta.block_tables, block_size, jnp.float32
     )
+    ctx = meta.ctx_lens if pages_ctx is None else pages_ctx
     Skv = k.shape[1]
-    s = _grouped_scores(q[:, None].astype(jnp.float32), k) * scale
     kv_pos = jnp.arange(Skv, dtype=jnp.int32)
-    mask = kv_pos[None, :] < meta.ctx_lens[:, None]  # (B, Skv)
+    mask = kv_pos[None, :] < ctx[:, None]  # (B, Skv)
+    if k_stage is not None:
+        W = k_stage.shape[2]
+        k = jnp.concatenate(
+            [k, k_stage.transpose(0, 2, 1, 3).astype(jnp.float32)], axis=1
+        )
+        v = jnp.concatenate(
+            [v, v_stage.transpose(0, 2, 1, 3).astype(jnp.float32)], axis=1
+        )
+        st_mask = jnp.arange(W, dtype=jnp.int32)[None, :] < stage_len
+        mask = jnp.concatenate(
+            [mask, jnp.broadcast_to(st_mask, (mask.shape[0], W))], axis=1
+        )
+    s = _grouped_scores(q[:, None].astype(jnp.float32), k) * scale
     s = jnp.where(mask[:, None, None, None, :], s, MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     out = _weighted_values(p, v)  # (B, 1, Hq, D)

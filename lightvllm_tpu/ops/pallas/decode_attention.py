@@ -59,27 +59,29 @@ def _decode_kernel(
     # scalar prefetch
     tables_ref,  # (B, NB_padded) int32
     ctx_lens_ref,  # (B,) int32
+    stage_len_ref,  # (1,) int32 (number of valid staging rows; 0 = no stage)
     # inputs
     q_ref,  # (1, Hkv, Gp, D) VMEM
     k_hbm,  # (NBtot, Hkv, BSZ, D) ANY (HBM), one layer's pages
     v_hbm,
+    # [ks_ref, vs_ref] when has_stage: (1, Hkv, W, D) VMEM staging tail
     # outputs
-    o_ref,  # (1, Hkv, Gp, D) f32 VMEM
-    # scratch
-    m_ref,  # (Hkv*Gp, 128) f32
-    l_ref,  # (Hkv*Gp, 128) f32
-    k_buf,  # (2, ppcb, Hkv, BSZ, D)
-    v_buf,
-    k_sem,  # DMA sems (2,)
-    v_sem,
-    buf_idx_ref,  # SMEM (1,)
-    init_ref,  # SMEM (1,)
-    *,
+    # o_ref (1, Hkv, Gp, D) f32 VMEM
+    # scratch: m_ref, l_ref (Hkv*Gp, 128) f32; k_buf/v_buf; sems; smem flags
+    *refs,
     block_size: int,
     ppcb: int,
     scale: float,
     num_kv_heads: int,
+    has_stage: bool,
 ):
+    if has_stage:
+        (ks_ref, vs_ref, o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem,
+         buf_idx_ref, init_ref) = refs
+    else:
+        (o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem, buf_idx_ref,
+         init_ref) = refs
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_b = pl.num_programs(0)
@@ -88,7 +90,10 @@ def _decode_kernel(
     ctx = ctx_lens_ref[b]
 
     def chunk_valid(b_, i_):
-        return i_ * chunk_tokens < ctx_lens_ref[b_]
+        # Chunk 0 always runs: it initializes (m, l, o) and, for ctx <= 0
+        # rows (padding, or 1-token prompts whose only token lives in the
+        # staging tail), everything it reads is masked out.
+        return (i_ == 0) | (i_ * chunk_tokens < ctx_lens_ref[b_])
 
     # SMEM scratch is uninitialized: zero the init flag on the very first
     # grid instance (always valid since every ctx >= 1).
@@ -188,9 +193,42 @@ def _decode_kernel(
         o_prev = o_ref[0].reshape(HG, -1)
         o_ref[0] = (o_prev * alpha + o_cur).reshape(o_ref.shape[1:])
 
-        # Normalize on this sequence's last real chunk.
+        # On this sequence's last real chunk: fold in the dense staging tail
+        # (the current decode window's unflushed tokens), then normalize.
         @pl.when(jnp.logical_not(same_seq))
         def _finalize():
+            if has_stage:
+                W = ks_ref.shape[2]
+                ks = ks_ref[0].astype(cd).reshape(Hkv * W, -1)  # (Hkv*W, D)
+                s2 = jax.lax.dot_general(
+                    q.astype(cd),
+                    ks,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (HG, Hkv*W)
+                rh = jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv * W), 0) // Gp
+                c2 = jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv * W), 1)
+                ch2 = c2 // W
+                s2 = jnp.where(
+                    (rh == ch2) & (c2 % W < stage_len_ref[0]), s2, MASK_VALUE
+                )
+                m_prev2 = m_ref[:, :1]
+                l_prev2 = l_ref[:, :1]
+                m_cur2 = jnp.max(s2, axis=-1, keepdims=True)
+                m_next2 = jnp.maximum(m_prev2, m_cur2)
+                alpha2 = jnp.exp(m_prev2 - m_next2)
+                p2 = jnp.exp(s2 - m_next2)
+                l_ref[...] = jnp.broadcast_to(
+                    alpha2 * l_prev2 + jnp.sum(p2, axis=-1, keepdims=True),
+                    l_ref.shape,
+                )
+                vs = vs_ref[0].astype(cd).reshape(Hkv * W, -1)
+                o2 = jax.lax.dot(
+                    p2.astype(cd), vs, preferred_element_type=jnp.float32
+                )
+                o_ref[0] = (
+                    o_ref[0].reshape(HG, -1) * alpha2 + o2
+                ).reshape(o_ref.shape[1:])
             l = l_ref[:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0] = (o_ref[0].reshape(HG, -1) * l_inv).reshape(o_ref.shape[1:])
@@ -204,7 +242,10 @@ def paged_flash_decode(
     k_pages: jnp.ndarray,  # (NB_total, Hkv, BSZ, D), one layer's pages
     v_pages: jnp.ndarray,  # (NB_total, Hkv, BSZ, D)
     block_tables: jnp.ndarray,  # (B, NB) int32
-    ctx_lens: jnp.ndarray,  # (B,) int32
+    ctx_lens: jnp.ndarray,  # (B,) int32 — PAGED context only (may be <= 0)
+    k_stage: jnp.ndarray | None = None,  # (B, Hkv, W, D) dense staging tail
+    v_stage: jnp.ndarray | None = None,
+    stage_len: jnp.ndarray | None = None,  # scalar int32: valid staging rows
     *,
     block_size: int,
     scale: float,
@@ -219,13 +260,11 @@ def paged_flash_decode(
     ppcb = min(ppcb, NB)
     num_chunks = -(-NB // ppcb)
     NB_padded = num_chunks * ppcb
-
-    # Padding rows must look like 1-token sequences (chunk 0 always valid).
-    ctx_lens = jnp.maximum(ctx_lens, 1)
+    has_stage = k_stage is not None
 
     # Clamp out-of-context table entries onto the sequence's page 0 so
     # straggler DMAs of the last partial chunk stay valid and local.
-    num_pages = (ctx_lens + block_size - 1) // block_size
+    num_pages = jnp.maximum((ctx_lens + block_size - 1) // block_size, 1)
     steps = jnp.arange(NB_padded, dtype=jnp.int32)[None, :]
     padded_tables = jnp.pad(block_tables, ((0, 0), (0, NB_padded - NB)))
     clamped_tables = jnp.where(
@@ -236,15 +275,29 @@ def paged_flash_decode(
     if Gp != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
 
+    if stage_len is None:
+        stage_len = jnp.int32(0)
+    stage_len = jnp.reshape(stage_len, (1,)).astype(jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [qg, k_pages, v_pages]
+    if has_stage:
+        W = k_stage.shape[2]
+        in_specs += [
+            pl.BlockSpec((1, Hkv, W, D), lambda b, i, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Hkv, W, D), lambda b, i, *_: (b, 0, 0, 0)),
+        ]
+        inputs += [k_stage, v_stage]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, num_chunks),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl: (b, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, bt, cl: (b, 0, 0, 0)),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
             pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
@@ -264,6 +317,7 @@ def paged_flash_decode(
             ppcb=ppcb,
             scale=scale,
             num_kv_heads=Hkv,
+            has_stage=has_stage,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
@@ -273,5 +327,5 @@ def paged_flash_decode(
         # The TPU-flavored interpreter handles DMAs/semaphores on CPU.
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    out = kernel(clamped_tables, ctx_lens, qg, k_pages, v_pages)
+    out = kernel(clamped_tables, ctx_lens, stage_len, *inputs)
     return out[:, :, :G].reshape(B, Hq, D).astype(q.dtype)

