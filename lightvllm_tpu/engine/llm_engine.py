@@ -75,7 +75,14 @@ class LLMEngine:
         self.model_runner = ModelRunner(
             self.config, spec, params, rng_seed=kwargs.get("rng_seed", 0)
         )
-        self.scheduler = Scheduler(self.config)
+        if self.config.data_parallel_size > 1:
+            from lightvllm_tpu.engine.dp_scheduler import DataParallelScheduler
+
+            self.scheduler = DataParallelScheduler(
+                self.config, self.config.data_parallel_size
+            )
+        else:
+            self.scheduler = Scheduler(self.config)
         self._stats = {"prefill_tokens": 0, "decode_tokens": 0, "prefill_s": 0.0, "decode_s": 0.0}
 
     # ---------------- public API (mirrors the reference surface) ---------
@@ -111,13 +118,19 @@ class LLMEngine:
         t0 = time.perf_counter()
         seqs, is_prefill, window = self.scheduler.schedule()
         token_ids = self.model_runner.run(seqs, is_prefill, window)
+        # With data parallelism `seqs` is a list of per-group lists.
+        flat = (
+            [s for g in seqs for s in g]
+            if self.config.data_parallel_size > 1
+            else seqs
+        )
         # Count prefill work BEFORE postprocess appends the sampled token.
         prefill_n = (
-            sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else 0
+            sum(len(s) - s.num_cached_tokens for s in flat) if is_prefill else 0
         )
         appended = self.scheduler.postprocess(seqs, token_ids)
         finished = [
-            (s.seq_id, s.completion_token_ids) for s in seqs if s.is_finished
+            (s.seq_id, s.completion_token_ids) for s in flat if s.is_finished
         ]
         if is_prefill:
             n = prefill_n
@@ -189,17 +202,23 @@ class LLMEngine:
     def stats(self) -> dict:
         """Structured engine state (SURVEY.md §5: the reference only has a
         tqdm postfix; serving stacks need batch/blocks/cache visibility)."""
-        bm = self.scheduler.block_manager
+        sched = self.scheduler
+        bms = (
+            [g.block_manager for g in sched.groups]
+            if hasattr(sched, "groups")
+            else [sched.block_manager]
+        )
+        queries = sum(bm.prefix_cache_queries for bm in bms)
         return {
             **self.throughput,
-            "waiting": len(self.scheduler.waiting),
-            "running": len(self.scheduler.running),
-            "preemptions": self.scheduler.num_preemptions,
-            "blocks_total": bm.num_blocks,
-            "blocks_free": bm.num_free_blocks,
+            "waiting": len(sched.waiting),
+            "running": len(sched.running),
+            "preemptions": sched.num_preemptions,
+            "blocks_total": sum(bm.num_blocks for bm in bms),
+            "blocks_free": sum(bm.num_free_blocks for bm in bms),
             "prefix_cache_hit_rate": (
-                bm.prefix_cache_hits / bm.prefix_cache_queries
-                if bm.prefix_cache_queries
+                sum(bm.prefix_cache_hits for bm in bms) / queries
+                if queries
                 else 0.0
             ),
             "last_step": dict(self.model_runner.last_step_stats),

@@ -126,7 +126,7 @@ class ModelRunner:
 
         staged = config.decode_kv_mode == "staged"
 
-        def _flush_staging(cache, staging, meta, window):
+        def _flush_staging(cache, staging, meta, window, spec=spec):
             """staging -> pages, once per window. Pallas aligned-DMA flush on
             TPU; scatter fallback on the CPU/jnp path (still once per window
             with all W rows, not once per step)."""
@@ -165,80 +165,111 @@ class ModelRunner:
                 cache = write_kv_layer(cache, l, k_new, v_new, slots)
             return cache
 
-        def decode_fn(params, token_ids, meta, cache, key, window, extended):
-            """Fused n-step decode: the sampled-token feedback loop stays on
-            device for `window` steps (TPU analog of CUDA-graph replay,
-            SURVEY.md §2.8, amortizing the host dispatch + tunnel RTT).
+        def make_decode_fn(spec, tp_axis=None):
+            """Factory: the fused-window decode step. With tp_axis set the
+            body runs INSIDE shard_map over the mesh "model" axis — spec
+            carries per-shard head/ffn counts and the model places psum /
+            all_gather collectives explicitly (config.tp_mode="shard_map")."""
 
-            With decode_kv_mode="staged" the paged cache is READ-ONLY inside
-            the scan; per-step K/V land in a dense staging buffer (vectorized
-            dynamic_update_slice) that attention folds in as a tail, and one
-            flush per window writes the pages (kills the per-step serial
-            scatter, VERDICT r1 missing#1)."""
+            def decode_fn(params, token_ids, meta, cache, key, window, extended):
+                """Fused n-step decode: the sampled-token feedback loop stays
+                on device for `window` steps (TPU analog of CUDA-graph
+                replay, SURVEY.md §2.8, amortizing dispatch + tunnel RTT).
 
-            def step_staged(carry, s):
-                tokens, staging = carry
-                logits, staging = qwen3.forward_decode_staged(
-                    params, spec, tokens, meta, cache, staging, s, bs,
-                    attn_impl=attn_impl,
-                )
-                nxt = sample(
-                    logits,
-                    meta.temperatures,
-                    jax.random.fold_in(key, s),
-                    top_ks=meta.top_ks if extended else None,
-                    top_ps=meta.top_ps if extended else None,
-                    seeds=meta.seeds if extended else None,
-                    positions=(meta.positions + s + 1) if extended else None,
-                )
-                return (nxt, staging), nxt
+                With decode_kv_mode="staged" the paged cache is READ-ONLY
+                inside the scan; per-step K/V land in a dense staging buffer
+                (vectorized dynamic_update_slice) that attention folds in as
+                a tail, and one flush per window writes the pages (kills the
+                per-step serial scatter, VERDICT r1 missing#1)."""
 
-            def step_scatter(carry, s):
-                tokens, cache = carry
-                stepmeta = DecodeMeta(
-                    positions=meta.positions + s,
-                    ctx_lens=meta.ctx_lens + s,
-                    block_tables=meta.block_tables,
-                    temperatures=meta.temperatures,
-                    top_ks=meta.top_ks,
-                    top_ps=meta.top_ps,
-                    seeds=meta.seeds,
-                )
-                logits, cache = qwen3.forward_decode(
-                    params, spec, tokens, stepmeta, cache, bs, attn_impl=attn_impl
-                )
-                nxt = sample(
-                    logits,
-                    meta.temperatures,
-                    jax.random.fold_in(key, s),
-                    top_ks=meta.top_ks if extended else None,
-                    top_ps=meta.top_ps if extended else None,
-                    seeds=meta.seeds if extended else None,
-                    positions=(meta.positions + s + 1) if extended else None,
-                )
-                return (nxt, cache), nxt
+                def step_staged(carry, s):
+                    tokens, staging = carry
+                    logits, staging = qwen3.forward_decode_staged(
+                        params, spec, tokens, meta, cache, staging, s, bs,
+                        attn_impl=attn_impl, tp_axis=tp_axis,
+                    )
+                    nxt = sample(
+                        logits,
+                        meta.temperatures,
+                        jax.random.fold_in(key, s),
+                        top_ks=meta.top_ks if extended else None,
+                        top_ps=meta.top_ps if extended else None,
+                        seeds=meta.seeds if extended else None,
+                        positions=(meta.positions + s + 1) if extended else None,
+                    )
+                    return (nxt, staging), nxt
 
-            if staged:
-                B = token_ids.shape[0]
-                st_dt = (
-                    jnp.bfloat16 if spec.jnp_dtype == jnp.bfloat16
-                    else spec.jnp_dtype
+                def step_scatter(carry, s):
+                    tokens, cache = carry
+                    stepmeta = DecodeMeta(
+                        positions=meta.positions + s,
+                        ctx_lens=meta.ctx_lens + s,
+                        block_tables=meta.block_tables,
+                        temperatures=meta.temperatures,
+                        top_ks=meta.top_ks,
+                        top_ps=meta.top_ps,
+                        seeds=meta.seeds,
+                    )
+                    logits, cache = qwen3.forward_decode(
+                        params, spec, tokens, stepmeta, cache, bs,
+                        attn_impl=attn_impl, tp_axis=tp_axis,
+                    )
+                    nxt = sample(
+                        logits,
+                        meta.temperatures,
+                        jax.random.fold_in(key, s),
+                        top_ks=meta.top_ks if extended else None,
+                        top_ps=meta.top_ps if extended else None,
+                        seeds=meta.seeds if extended else None,
+                        positions=(meta.positions + s + 1) if extended else None,
+                    )
+                    return (nxt, cache), nxt
+
+                if staged:
+                    B = token_ids.shape[0]
+                    st_dt = (
+                        jnp.bfloat16 if spec.jnp_dtype == jnp.bfloat16
+                        else spec.jnp_dtype
+                    )
+                    st_shape = (B, spec.num_kv_heads, window, spec.head_dim)
+                    staging = KVCache(
+                        k=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
+                        v=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
+                    )
+                    (_, staging), toks = jax.lax.scan(
+                        step_staged, (token_ids, staging),
+                        jnp.arange(window, dtype=jnp.int32),
+                    )
+                    cache_out = _flush_staging(cache, staging, meta, window, spec)
+                    return toks, cache_out
+                (_, cache), toks = jax.lax.scan(
+                    step_scatter, (token_ids, cache), jnp.arange(window, dtype=jnp.int32)
                 )
-                st_shape = (B, spec.num_kv_heads, window, spec.head_dim)
-                staging = KVCache(
-                    k=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
-                    v=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
-                )
-                (_, staging), toks = jax.lax.scan(
-                    step_staged, (token_ids, staging),
-                    jnp.arange(window, dtype=jnp.int32),
-                )
-                cache_out = _flush_staging(cache, staging, meta, window)
-                return toks, cache_out
-            (_, cache), toks = jax.lax.scan(
-                step_scatter, (token_ids, cache), jnp.arange(window, dtype=jnp.int32)
-            )
-            return toks, cache  # (window, B)
+                return toks, cache  # (window, B)
+
+            return decode_fn
+
+        decode_fn = make_decode_fn(spec)
+
+        self.dp = config.data_parallel_size
+        if self.dp > 1:
+            # Data parallelism: one dispatch steps every group. Group-stacked
+            # inputs (leading (DP,) axis, GSPMD-sharded on "data") vmap over
+            # the single-group step; params broadcast (sharded only on
+            # "model" => replicated across "data"), each group's KV pool is
+            # its slice of the cache's leading axis. Replaces nothing in the
+            # reference (it has no DP, SURVEY.md §2.4).
+            pre_core, dec_core = prefill_fn, decode_fn
+
+            def prefill_fn(params, token_ids, meta, cache, keys, extended):
+                return jax.vmap(
+                    lambda t, m, c, k: pre_core(params, t, m, c, k, extended)
+                )(token_ids, meta, cache, keys)
+
+            def decode_fn(params, token_ids, meta, cache, keys, window, extended):
+                return jax.vmap(
+                    lambda t, m, c, k: dec_core(params, t, m, c, k, window, extended)
+                )(token_ids, meta, cache, keys)
 
         if config.enforce_eager:
             self._prefill = prefill_fn
@@ -250,6 +281,69 @@ class ModelRunner:
             self._decode = jax.jit(
                 decode_fn, donate_argnums=(3,), static_argnums=(5, 6)
             )
+
+        if (
+            config.tp_mode == "shard_map"
+            and self.mesh is not None
+            and self.dp == 1
+            and not config.enforce_eager
+        ):
+            # Manual-collective TP decode (SURVEY §7 / BASELINE overlap
+            # groundwork): the fused window runs INSIDE shard_map over the
+            # mesh "model" axis, so every collective (row-parallel psum,
+            # vocab-parallel embed psum, logits all_gather) is placed
+            # explicitly by the model instead of inferred by GSPMD — the
+            # control needed to schedule collectives against independent
+            # compute. Prefill stays on the GSPMD path (compute-bound; XLA's
+            # inferred reduce-scatter/all-gather pairs are already good).
+            import dataclasses
+
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from lightvllm_tpu.parallel.sharding import (
+                kv_cache_specs,
+                param_specs,
+            )
+
+            tp = self.mesh.shape["model"]
+            assert (
+                spec.num_q_heads % tp == 0
+                and spec.num_kv_heads % tp == 0
+                and spec.intermediate_size % tp == 0
+                and spec.vocab_size % tp == 0
+            ), f"shard_map tp={tp} must divide heads/ffn/vocab"
+            spec_local = dataclasses.replace(
+                spec,
+                num_q_heads=spec.num_q_heads // tp,
+                num_kv_heads=spec.num_kv_heads // tp,
+                intermediate_size=spec.intermediate_size // tp,
+            )
+            decode_local = make_decode_fn(spec_local, tp_axis="model")
+            pspecs = param_specs(params)
+            cspecs = KVCache(**kv_cache_specs())
+            sm_cache: dict = {}
+            mesh = self.mesh
+
+            def decode_dispatch(
+                params, token_ids, meta, cache, key, window, extended
+            ):
+                fn = sm_cache.get((window, extended))
+                if fn is None:
+                    body = shard_map(
+                        lambda p, t, m, c, k: decode_local(
+                            p, t, m, c, k, window, extended
+                        ),
+                        mesh=mesh,
+                        in_specs=(pspecs, P(), P(), cspecs, P()),
+                        out_specs=(P(), cspecs),
+                        check_rep=False,
+                    )
+                    fn = jax.jit(body, donate_argnums=(3,))
+                    sm_cache[(window, extended)] = fn
+                return fn(params, token_ids, meta, cache, key)
+
+            self._decode = decode_dispatch
 
         # Step statistics (SURVEY.md §5: structured per-step metrics).
         self.last_step_stats: dict = {}
@@ -263,17 +357,23 @@ class ModelRunner:
         self.cache: KVCache = alloc_kv_cache(
             spec.num_layers,
             spec.num_kv_heads,
-            self.num_blocks,
+            self.num_blocks // self.dp,  # per-group pool (local block ids)
             self.block_size,
             spec.head_dim,
             spec.jnp_dtype,
             self.fp8_kv,
         )
+        if self.dp > 1:
+            self.cache = jax.tree.map(
+                lambda x: jnp.zeros((self.dp,) + x.shape, x.dtype), self.cache
+            )
         if self.mesh is not None:
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
             from lightvllm_tpu.parallel.sharding import kv_cache_specs
 
             specs = kv_cache_specs()
+            if self.dp > 1:
+                specs = {f: P("data", *specs[f]) for f in specs}
             self.cache = KVCache(
                 **{
                     f: jax.device_put(
@@ -298,7 +398,7 @@ class ModelRunner:
         garbage KV into page 0, which is safe: any sequence later allocating
         a page writes every slot it reads before attending over it.
         """
-        if jax.default_backend() == "cpu":
+        if jax.default_backend() == "cpu" or self.dp > 1:
             return  # CPU tests: compile times are trivial, skip the churn
         max_b = bucket(self.config.max_num_seqs, 8)
         b_buckets = []
@@ -391,7 +491,7 @@ class ModelRunner:
         exact for the activation term."""
         cfg = self.config
         spec = self.spec
-        if cfg.enforce_eager:
+        if cfg.enforce_eager or self.dp > 1:
             return 0
 
         def sds(shape, dtype):
@@ -462,20 +562,23 @@ class ModelRunner:
 
     # ---------------- input prep (host, numpy) ----------------
 
-    def prepare_prefill(self, seqs: list[Sequence]) -> tuple[np.ndarray, PrefillMeta]:
+    def _prefill_buckets(self, seqs: list[Sequence]) -> tuple[int, int, int, int]:
         bs = self.block_size
-        B_real = len(seqs)
-        lens = [len(s) - s.num_cached_tokens for s in seqs]
-        T_real = sum(lens)
-        T = bucket(T_real, minimum=16)
-        B = bucket(B_real, minimum=1)
+        lens = [len(s) - s.num_cached_tokens for s in seqs] or [1]
+        T = bucket(sum(lens), minimum=16)
+        B = bucket(max(1, len(seqs)), minimum=1)
         Sq = bucket(max(lens), minimum=16)
         NB = bucket(
-            max((len(s) + bs - 1) // bs for s in seqs),
+            max([(len(s) + bs - 1) // bs for s in seqs] or [1]),
             minimum=1,
             cap=self.config.max_blocks_per_seq,
         )
+        return T, B, Sq, NB
 
+    def _prefill_arrays(
+        self, seqs: list[Sequence], T: int, B: int, Sq: int, NB: int
+    ) -> dict:
+        bs = self.block_size
         token_ids = np.zeros(T, np.int32)
         slot_mapping = np.full(T, PAD_SLOT_NP, np.int32)
         token_seq = np.zeros(T, np.int32)
@@ -515,24 +618,29 @@ class ModelRunner:
             seeds[b] = -1 if seq.seed is None else seq.seed
             t += n
 
-        meta = PrefillMeta(
-            slot_mapping=jnp.asarray(slot_mapping),
-            token_seq=jnp.asarray(token_seq),
-            token_rect_pos=jnp.asarray(token_rect_pos),
-            rect_index=jnp.asarray(rect_index),
-            cached_lens=jnp.asarray(cached_lens),
-            ctx_lens=jnp.asarray(ctx_lens),
-            block_tables=jnp.asarray(block_tables),
-            last_flat_idx=jnp.asarray(last_flat_idx),
-            temperatures=jnp.asarray(temperatures),
-            top_ks=jnp.asarray(top_ks),
-            top_ps=jnp.asarray(top_ps),
-            seeds=jnp.asarray(seeds),
+        return dict(
+            token_ids=token_ids,
+            slot_mapping=slot_mapping,
+            token_seq=token_seq,
+            token_rect_pos=token_rect_pos,
+            rect_index=rect_index,
+            cached_lens=cached_lens,
+            ctx_lens=ctx_lens,
+            block_tables=block_tables,
+            last_flat_idx=last_flat_idx,
+            temperatures=temperatures,
+            top_ks=top_ks,
+            top_ps=top_ps,
+            seeds=seeds,
         )
+
+    def prepare_prefill(self, seqs: list[Sequence]) -> tuple[jnp.ndarray, PrefillMeta]:
+        a = self._prefill_arrays(seqs, *self._prefill_buckets(seqs))
+        token_ids = a.pop("token_ids")
+        meta = PrefillMeta(**{k: jnp.asarray(v) for k, v in a.items()})
         return jnp.asarray(token_ids), meta
 
-    def prepare_decode(self, seqs: list[Sequence]) -> tuple[np.ndarray, DecodeMeta]:
-        B = bucket(len(seqs), minimum=8, cap=bucket(self.config.max_num_seqs, 8))
+    def _decode_arrays(self, seqs: list[Sequence], B: int) -> dict:
         # Fixed table width: the decode kernel skips chunks past each ctx, so
         # padding to max_blocks_per_seq costs ~nothing on device but pins ONE
         # compiled decode shape per (B, window) — a growing NB bucket would
@@ -556,22 +664,84 @@ class ModelRunner:
             top_ks[b] = seq.top_k
             top_ps[b] = seq.top_p
             seeds[b] = -1 if seq.seed is None else seq.seed
-        meta = DecodeMeta(
-            positions=jnp.asarray(positions),
-            ctx_lens=jnp.asarray(ctx_lens),
-            block_tables=jnp.asarray(block_tables),
-            temperatures=jnp.asarray(temperatures),
-            top_ks=jnp.asarray(top_ks),
-            top_ps=jnp.asarray(top_ps),
-            seeds=jnp.asarray(seeds),
+        return dict(
+            token_ids=token_ids,
+            positions=positions,
+            ctx_lens=ctx_lens,
+            block_tables=block_tables,
+            temperatures=temperatures,
+            top_ks=top_ks,
+            top_ps=top_ps,
+            seeds=seeds,
         )
+
+    def prepare_decode(self, seqs: list[Sequence]) -> tuple[jnp.ndarray, DecodeMeta]:
+        B = bucket(len(seqs), minimum=8, cap=bucket(self.config.max_num_seqs, 8))
+        a = self._decode_arrays(seqs, B)
+        token_ids = a.pop("token_ids")
+        meta = DecodeMeta(**{k: jnp.asarray(v) for k, v in a.items()})
         return jnp.asarray(token_ids), meta
 
     # ---------------- step ----------------
 
+    def run_groups(
+        self, groups: list[list[Sequence]], is_prefill: bool, window: int = 1
+    ) -> list:
+        """Data-parallel step: one dispatch advances every DP group.
+
+        Inputs are built per group with SHARED buckets (one compiled shape),
+        stacked on a leading (DP,) axis that shards on the mesh "data" axis,
+        and fed to the vmapped step. Returns per-group token lists shaped
+        like run()'s output ((B,) prefill / (window, B) decode)."""
+        assert len(groups) == self.dp
+        t0 = time.perf_counter()
+        self._key, step_key = jax.random.split(self._key)
+        keys = jax.random.split(step_key, self.dp)
+        extended = any(
+            s.top_k > 0 or s.top_p < 1.0 or s.seed is not None
+            for g in groups for s in g
+        )
+        if is_prefill:
+            per = [self._prefill_buckets(g) for g in groups]
+            T, B, Sq, NB = (max(b[i] for b in per) for i in range(4))
+            arrs = [self._prefill_arrays(g, T, B, Sq, NB) for g in groups]
+        else:
+            B = bucket(
+                max(len(g) for g in groups),
+                minimum=8,
+                cap=bucket(self.config.max_num_seqs, 8),
+            )
+            arrs = [self._decode_arrays(g, B) for g in groups]
+        stacked = {k: np.stack([a[k] for a in arrs]) for k in arrs[0]}
+        token_ids = jnp.asarray(stacked.pop("token_ids"))
+        if is_prefill:
+            meta = PrefillMeta(**{k: jnp.asarray(v) for k, v in stacked.items()})
+            tokens, self.cache = self._prefill(
+                self.params, token_ids, meta, self.cache, keys, extended
+            )
+            toks = np.asarray(tokens)  # (DP, B)
+            out = [toks[i, : len(g)].tolist() for i, g in enumerate(groups)]
+        else:
+            meta = DecodeMeta(**{k: jnp.asarray(v) for k, v in stacked.items()})
+            tokens, self.cache = self._decode(
+                self.params, token_ids, meta, self.cache, keys, window, extended
+            )
+            toks = np.asarray(tokens)  # (DP, window, B)
+            out = [toks[i][:, : len(g)].tolist() for i, g in enumerate(groups)]
+        self.last_step_stats = {
+            "is_prefill": is_prefill,
+            "num_seqs": sum(len(g) for g in groups),
+            "window": 1 if is_prefill else window,
+            "padded_shape": tuple(token_ids.shape),
+            "step_time_s": time.perf_counter() - t0,
+        }
+        return out
+
     def run(self, seqs: list[Sequence], is_prefill: bool, window: int = 1):
         """Prefill: returns (B,) sampled tokens. Decode: returns
         (window, B) sampled tokens (list of lists)."""
+        if self.dp > 1:
+            return self.run_groups(seqs, is_prefill, window)
         t0 = time.perf_counter()
         self._key, step_key = jax.random.split(self._key)
         # Trace-time flag: batches without top-k/top-p/seeds never pay the

@@ -162,11 +162,33 @@ def _decoder_stack(
     slot_mapping: jnp.ndarray | None,  # (T,); None with a custom write_fn
     attn_fn: Callable,  # (q, kv_state, layer) -> attn out, q (T, Hq, D)
     write_fn: Callable | None = None,  # (kv_state, layer, k, v) -> kv_state
+    tp_axis: str | None = None,  # set inside shard_map: manual-collective TP
 ) -> tuple[jnp.ndarray, KVCache]:
     dt = spec.jnp_dtype
     T = token_ids.shape[0]
     Hq, Hkv, D = spec.num_q_heads, spec.num_kv_heads, spec.head_dim
-    h = jnp.take(params["embed"], token_ids, axis=0).astype(dt)
+    if tp_axis is None:
+        h = jnp.take(params["embed"], token_ids, axis=0).astype(dt)
+    else:
+        # Vocab-parallel embedding with an explicit psum — the manual analog
+        # of the reference's VocabParallelEmbedding mask + all_reduce
+        # (embed_head.py:92-113). `spec` here carries LOCAL head/ffn counts;
+        # the embed shard is (V/tp, E) rows [rank*V_local, ...).
+        v_local = params["embed"].shape[0]
+        offset = jax.lax.axis_index(tp_axis) * v_local
+        local_ids = token_ids - offset
+        valid = (local_ids >= 0) & (local_ids < v_local)
+        e = jnp.take(params["embed"], jnp.clip(local_ids, 0, v_local - 1), axis=0)
+        h = jax.lax.psum(
+            jnp.where(valid[:, None], e, 0).astype(jnp.float32), tp_axis
+        ).astype(dt)
+
+    def reduce_fn(x):
+        # Row-parallel output reduction (reference RowParallelLinear
+        # all_reduce, linear.py:388-389) — placed manually so the compiler
+        # can schedule it asynchronously against independent work.
+        return x if tp_axis is None else jax.lax.psum(x, tp_axis)
+
     if write_fn is None:
         def write_fn(state, layer_idx, k, v):
             return write_kv_layer(state, layer_idx, k, v, slot_mapping)
@@ -190,12 +212,12 @@ def _decoder_stack(
         q, k = apply_rope(q, k, positions, spec.rope_theta, spec.rope_scaling)
         cache = write_fn(cache, layer_idx, k, v)
         attn = attn_fn(q, cache, layer_idx)
-        o = matmul(attn.reshape(T, Hq * D), lp["wo"])
+        o = reduce_fn(matmul(attn.reshape(T, Hq * D), lp["wo"]))
         # --- MLP block (fused add+norm, reference layernorm.py:52-80) ---
         normed2, h = add_rms_norm(o, h, lp["post_ln"], spec.rms_eps)
         gate = matmul(normed2, lp["w_gate"])
         up = matmul(normed2, lp["w_up"])
-        mlp = matmul(swiglu(gate, up), lp["w_down"])
+        mlp = reduce_fn(matmul(swiglu(gate, up), lp["w_down"]))
         h = h + mlp
         return h, cache
 
@@ -214,20 +236,29 @@ def _decoder_stack(
     return h, cache
 
 
-def compute_logits(params: dict, spec: ModelSpec, h: jnp.ndarray) -> jnp.ndarray:
+def compute_logits(
+    params: dict, spec: ModelSpec, h: jnp.ndarray, tp_axis: str | None = None
+) -> jnp.ndarray:
     """h (B, E) -> logits (B, V) float32. Tied head contracts against the
-    embedding matrix without materializing its transpose."""
+    embedding matrix without materializing its transpose. Inside shard_map
+    (tp_axis set) each rank computes its vocab shard and the shards are
+    all-gathered in rank order — the manual analog of the reference's
+    LM-head logits gather (embed_head.py:175-195)."""
     if params.get("lm_head") is not None:
-        return matmul(h, params["lm_head"]).astype(jnp.float32)
-    from lightvllm_tpu.ops.quantization import _precision
+        logits = matmul(h, params["lm_head"]).astype(jnp.float32)
+    else:
+        from lightvllm_tpu.ops.quantization import _precision
 
-    return jax.lax.dot_general(
-        h,
-        params["embed"],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_precision(h),
-    )
+        logits = jax.lax.dot_general(
+            h,
+            params["embed"],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(h),
+        )
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+    return logits
 
 
 def hidden_states_prefill(
@@ -282,6 +313,7 @@ def forward_decode(
     cache: KVCache,
     block_size: int,
     attn_impl: str = "jnp",  # "jnp" | "pallas"
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     scale = spec.head_dim**-0.5
     B = token_ids.shape[0]
@@ -301,9 +333,10 @@ def forward_decode(
         return paged_decode_attention(q, cache, layer, meta, block_size, scale)
 
     h, cache = _decoder_stack(
-        params, spec, token_ids, jnp.maximum(pos, 0), cache, slots, attn_fn
+        params, spec, token_ids, jnp.maximum(pos, 0), cache, slots, attn_fn,
+        tp_axis=tp_axis,
     )
-    return compute_logits(params, spec, h), cache
+    return compute_logits(params, spec, h, tp_axis=tp_axis), cache
 
 
 def forward_decode_staged(
@@ -316,6 +349,7 @@ def forward_decode_staged(
     step: jnp.ndarray,  # scalar int32: index within the decode window
     block_size: int,
     attn_impl: str = "jnp",  # "jnp" | "pallas"
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     """One step of the window-staged decode (VERDICT r1 missing#1).
 
@@ -364,6 +398,6 @@ def forward_decode_staged(
 
     h, staging = _decoder_stack(
         params, spec, token_ids, jnp.maximum(pos, 0), staging, None,
-        attn_fn, write_fn=write_fn,
+        attn_fn, write_fn=write_fn, tp_axis=tp_axis,
     )
-    return compute_logits(params, spec, h), staging
+    return compute_logits(params, spec, h, tp_axis=tp_axis), staging

@@ -95,3 +95,50 @@ def test_tp2_quantized_int8(spec_and_params):
     ref = run_greedy(make_engine(spec, params_q), [[1, 5, 9, 2, 7]])
     tp = run_greedy(make_engine(spec, params_q, tp=2), [[1, 5, 9, 2, 7]])
     assert tp == ref
+
+
+def test_tp8_shard_map_decode_matches_single_device(spec_and_params):
+    """tp_mode="shard_map": the manual-collective decode window (explicit
+    psum / vocab-parallel embed / logits all_gather inside shard_map) must
+    reproduce single-device greedy tokens exactly."""
+    spec, params = spec_and_params
+    prompts = [[1, 5, 9, 2, 7], [3, 1, 4, 1, 5, 9, 2, 6], [11, 12]]
+    ref = run_greedy(make_engine(spec, params), prompts)
+    sm = run_greedy(
+        LLMEngine(
+            spec=spec,
+            params=params,
+            kvcache_block_size=BS,
+            num_kvcache_blocks=64,
+            max_model_len=128,
+            max_num_seqs=4,
+            eos=127,
+            tensor_parallel_size=8,
+            tp_mode="shard_map",
+        ),
+        prompts,
+    )
+    assert sm == ref
+
+
+def test_tp2_shard_map_quantized_int8(spec_and_params):
+    spec, _ = spec_and_params
+    params_q = qwen3.init_params(
+        spec, jax.random.PRNGKey(0), quantization="int8"
+    )
+    ref = run_greedy(make_engine(spec, params_q), [[1, 5, 9, 2, 7]])
+    sm = run_greedy(
+        LLMEngine(
+            spec=spec,
+            params=params_q,
+            kvcache_block_size=BS,
+            num_kvcache_blocks=64,
+            max_model_len=128,
+            max_num_seqs=4,
+            eos=127,
+            tensor_parallel_size=2,
+            tp_mode="shard_map",
+        ),
+        [[1, 5, 9, 2, 7]],
+    )
+    assert sm == ref

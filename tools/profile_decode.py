@@ -37,12 +37,21 @@ def apply_ablation(name: str):
     if name == "none":
         return
     if name == "kvwrite":
+        # Scatter mode: skip the per-step scatter. Staged mode: runner's
+        # flush imports these by name per call, so patching the module
+        # attributes disables the per-window page writes.
         def no_write(cache, layer, k_new, v_new, slot_mapping):
             return cache
 
         qwen3.write_kv_layer = no_write
+        kv_cache.write_kv_layer = no_write
+        from lightvllm_tpu.ops.pallas import kv_append
+
+        kv_append.kv_flush_pallas = (
+            lambda kp, vp, *a, **kw: (kp, vp)
+        )
     elif name == "attention":
-        def no_attn(q, cache, layer, meta, block_size, scale, interpret=False):
+        def no_attn(q, cache, layer, meta, block_size, scale, **kw):
             return q  # (B, Hq, D) passthrough keeps shape + deps
 
         qwen3.paged_decode_attention_pallas = no_attn
