@@ -35,6 +35,8 @@ def main():
     kv = os.environ.get("BENCH_KV", "auto")  # auto | fp8
     window = cfg_window = int(os.environ.get("BENCH_WINDOW", 16))
     model = os.environ.get("BENCH_MODEL", "0.6b")  # 0.6b | 1.7b | 4b | 8b
+    kv_mode = os.environ.get("BENCH_KV_MODE", "staged")  # staged | scatter
+    hbm_util = float(os.environ.get("BENCH_HBM", 0.9))
 
     # Qwen3 family architectures (HF configs).
     archs = {
@@ -70,6 +72,8 @@ def main():
         num_kvcache_blocks=-1,
         quantization=quant,
         kv_cache_dtype=kv,
+        decode_kv_mode=kv_mode,
+        hbm_memory_utilization=hbm_util,
         eos=-1,
         # Steady-state throughput bench: compile only the shapes actually
         # timed (the first prefill + decode window below). The full warmup
@@ -124,7 +128,7 @@ def main():
 
     tok_per_s = done / decode_s
     result = {
-        "metric": f"decode throughput Qwen3-{model} {quant or 'bf16'} kv={kv} b{batch} w{cfg_window} (1 chip)",
+        "metric": f"decode throughput Qwen3-{model} {quant or 'bf16'} kv={kv} m={kv_mode} b{batch} w{cfg_window} (1 chip)",
         "value": round(tok_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_per_s / NORTH_STAR_TOK_S, 3),

@@ -751,12 +751,14 @@ class ModelRunner:
         )
         if is_prefill:
             token_ids, meta = self.prepare_prefill(seqs)
+            t_prep = time.perf_counter() - t0
             tokens, self.cache = self._prefill(
                 self.params, token_ids, meta, self.cache, step_key, extended
             )
             out = np.asarray(tokens)[: len(seqs)].tolist()
         else:
             token_ids, meta = self.prepare_decode(seqs)
+            t_prep = time.perf_counter() - t0
             tokens, self.cache = self._decode(
                 self.params, token_ids, meta, self.cache, step_key, window, extended
             )
@@ -766,6 +768,11 @@ class ModelRunner:
             "num_seqs": len(seqs),
             "window": 1 if is_prefill else window,
             "padded_shape": tuple(token_ids.shape),
+            # Host-side input-prep share of the step: the reference overlaps
+            # this with pinned async copies (model_runner.py:271-381); here
+            # it is one numpy pass per fused window — recorded so the
+            # tradeoff stays measured, not assumed.
+            "prep_time_s": t_prep,
             "step_time_s": time.perf_counter() - t0,
         }
         return out
