@@ -63,7 +63,7 @@ class Config:
         assert self.tensor_parallel_size >= 1
         assert self.data_parallel_size >= 1
         assert self.quantization in (None, "int8", "int4")
-        assert self.kv_cache_dtype in ("auto", "fp8")
+        assert self.kv_cache_dtype in ("auto", "fp8", "int8")
         assert self.attention_impl in ("auto", "jnp", "pallas")
         assert self.kernel_backend in ("native", "pallas")
         assert self.decode_kv_mode in ("staged", "scatter")

@@ -60,6 +60,7 @@ class ModelRunner:
         self.spec = spec
         self.block_size = config.kvcache_block_size
         self.fp8_kv = config.kv_cache_dtype == "fp8"
+        self.int8_kv = config.kv_cache_dtype == "int8"
         self._key = jax.random.PRNGKey(rng_seed)
 
         # Persistent XLA compilation cache: the unrolled-layer graphs are
@@ -135,13 +136,23 @@ class ModelRunner:
                 from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
 
                 k_list, v_list = list(cache.k), list(cache.v)
+                sc_list = list(cache.scale) if cache.is_int8 else None
                 for l in range(spec.num_layers):
-                    k_list[l], v_list[l] = kv_flush_pallas(
+                    out = kv_flush_pallas(
                         k_list[l], v_list[l], staging.k[l], staging.v[l],
                         start_pos, meta.block_tables,
+                        sc_list[l] if sc_list is not None else None,
                         block_size=bs, window=window,
                     )
-                return KVCache(k=tuple(k_list), v=tuple(v_list))
+                    if sc_list is not None:
+                        k_list[l], v_list[l], sc_list[l] = out
+                    else:
+                        k_list[l], v_list[l] = out
+                return KVCache(
+                    k=tuple(k_list),
+                    v=tuple(v_list),
+                    scale=tuple(sc_list) if sc_list is not None else None,
+                )
             B = start_pos.shape[0]
             pos_all = start_pos[:, None] + jnp.arange(window, dtype=jnp.int32)
             blk = jnp.take_along_axis(
@@ -362,6 +373,7 @@ class ModelRunner:
             spec.head_dim,
             spec.jnp_dtype,
             self.fp8_kv,
+            self.int8_kv,
         )
         if self.dp > 1:
             self.cache = jax.tree.map(
@@ -455,6 +467,7 @@ class ModelRunner:
             self.spec.head_dim,
             self.spec.jnp_dtype,
             self.fp8_kv,
+            self.int8_kv,
         )
         if self.mesh is not None:
             # Cache shards over KV heads: each device holds 1/tp of a block.
@@ -505,10 +518,17 @@ class ModelRunner:
         )
         from lightvllm_tpu.ops.quantization import FP8_DTYPE
 
-        kv_dt = FP8_DTYPE if self.fp8_kv else spec.jnp_dtype
+        kv_dt = FP8_DTYPE if self.fp8_kv else (
+            jnp.int8 if self.int8_kv else spec.jnp_dtype
+        )
+        sc_shape = (kv_shape[0], 2, spec.num_kv_heads, spec.head_dim)
         cache = KVCache(
             k=tuple(sds(kv_shape, kv_dt) for _ in range(spec.num_layers)),
             v=tuple(sds(kv_shape, kv_dt) for _ in range(spec.num_layers)),
+            scale=(
+                tuple(sds(sc_shape, jnp.float32) for _ in range(spec.num_layers))
+                if self.int8_kv else None
+            ),
         )
         params = jax.tree.map(
             lambda x: sds(x.shape, x.dtype), self.params

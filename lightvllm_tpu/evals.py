@@ -27,7 +27,7 @@ from lightvllm_tpu.utils.metadata import PrefillMeta
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "block_size", "attn_impl", "fp8")
+    jax.jit, static_argnames=("spec", "block_size", "attn_impl", "fp8", "int8")
 )
 def _window_nll(
     params: dict,
@@ -37,13 +37,14 @@ def _window_nll(
     block_size: int,
     attn_impl: str,
     fp8: bool,
+    int8: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sum of -log p(token[i+1] | tokens[:i+1]) over valid positions."""
     T = token_ids.shape[0]
     NB = -(-T // block_size)
     cache = alloc_kv_cache(
         spec.num_layers, spec.num_kv_heads, NB, block_size, spec.head_dim,
-        spec.jnp_dtype, fp8=fp8,
+        spec.jnp_dtype, fp8=fp8, int8=int8,
     )
     meta = PrefillMeta(
         slot_mapping=jnp.arange(T, dtype=jnp.int32),
@@ -99,7 +100,7 @@ def evaluate_ppl(
     window: int = 1024,
     block_size: int = 64,
     attn_impl: str = "jnp",
-    kv_cache_dtype: str = "auto",  # "auto" (model dtype) | "fp8"
+    kv_cache_dtype: str = "auto",  # "auto" (model dtype) | "fp8" | "int8"
 ) -> dict:
     """Non-overlapping-window perplexity over a token stream.
 
@@ -109,6 +110,7 @@ def evaluate_ppl(
     "tokens"}.
     """
     fp8 = kv_cache_dtype == "fp8"
+    int8 = kv_cache_dtype == "int8"
     tokens = np.asarray(tokens, np.int32)
     total_nll, total_cnt = 0.0, 0
     for start in range(0, len(tokens), window):
@@ -120,7 +122,7 @@ def evaluate_ppl(
             w = np.pad(w, (0, window - len(w)))
         nll, cnt = _window_nll(
             params, spec, jnp.asarray(w), jnp.int32(n_valid), block_size,
-            attn_impl, fp8,
+            attn_impl, fp8, int8,
         )
         total_nll += float(nll)
         total_cnt += int(cnt)

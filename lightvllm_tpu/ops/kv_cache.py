@@ -44,13 +44,25 @@ PAD_SLOT = jnp.iinfo(jnp.int32).max
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v"],
+    data_fields=["k", "v", "scale"],
     meta_fields=[],
 )
 @dataclass
 class KVCache:
-    """k/v: per-layer tuples of (NB, Hkv, BSZ, D) page arrays; bf16/f32, or
-    scale-free e4m3 when fp8.
+    """k/v: per-layer tuples of (NB, Hkv, BSZ, D) page arrays; bf16/f32,
+    scale-free e4m3 when fp8, or int8 with per-(page, head, channel) scales.
+
+    INT8 KV (the decode-bandwidth lever on v5e — attention page reads are
+    the measured dominant decode cost, and int8<->bf16 converts are
+    hardware-fast where e4m3 upcasts are VPU-emulated): `scale` holds one
+    (NB, 2, Hkv, D) float32 array per layer — [*, 0] dequantizes K pages,
+    [*, 1] dequantizes V — quantization axis = channel within a page, so
+    the kernels' dequant is a native lane-preserving broadcast multiply and
+    each page's scales travel in ONE aligned whole-entry DMA (1/16 of the
+    page bytes). A page's scales are set when its first row is written
+    (with headroom margin for later appends, KV_INT8_MARGIN) and reused by
+    subsequent appends — block reuse is safe because a reused page always
+    restarts at row 0.
 
     One array PER LAYER, not a stacked (L, ...) array, for two measured
     reasons (decode step 98 ms -> ~3 ms on a 13 GB cache):
@@ -66,6 +78,7 @@ class KVCache:
 
     k: tuple
     v: tuple
+    scale: tuple | None = None  # int8 mode: per-layer (NB, 2, Hkv, D) f32
 
     @property
     def num_layers(self) -> int:
@@ -83,6 +96,16 @@ class KVCache:
     def is_fp8(self) -> bool:
         return self.k[0].dtype == FP8_DTYPE
 
+    @property
+    def is_int8(self) -> bool:
+        return self.k[0].dtype == jnp.int8
+
+
+# Headroom applied when a page's channel scales are set at first write:
+# later rows appended to the page reuse the scale, so it must cover values
+# somewhat larger than the first rows'. Costs 1 bit of the int8 range.
+KV_INT8_MARGIN = 2.0
+
 
 def alloc_kv_cache(
     num_layers: int,
@@ -92,20 +115,40 @@ def alloc_kv_cache(
     head_dim: int,
     dtype,
     fp8: bool,
+    int8: bool = False,
 ) -> KVCache:
-    kv_dtype = FP8_DTYPE if fp8 else dtype
+    assert not (fp8 and int8)
+    kv_dtype = FP8_DTYPE if fp8 else (jnp.int8 if int8 else dtype)
     shape = (num_blocks, num_kv_heads, block_size, head_dim)
+    scale = None
+    if int8:
+        # Zero-init: a never-written page dequantizes to exact 0 (masked
+        # out anyway); first write overwrites the whole entry.
+        scale = tuple(
+            jnp.zeros((num_blocks, 2, num_kv_heads, head_dim), jnp.float32)
+            for _ in range(num_layers)
+        )
     return KVCache(
         k=tuple(jnp.zeros(shape, kv_dtype) for _ in range(num_layers)),
         v=tuple(jnp.zeros(shape, kv_dtype) for _ in range(num_layers)),
+        scale=scale,
     )
 
 
 def kv_cache_bytes_per_block(
-    num_layers: int, num_kv_heads: int, block_size: int, head_dim: int, dtype, fp8: bool
+    num_layers: int,
+    num_kv_heads: int,
+    block_size: int,
+    head_dim: int,
+    dtype,
+    fp8: bool,
+    int8: bool = False,
 ) -> int:
-    itemsize = 1 if fp8 else jnp.dtype(dtype).itemsize
-    return 2 * num_layers * num_kv_heads * block_size * head_dim * itemsize
+    itemsize = 1 if (fp8 or int8) else jnp.dtype(dtype).itemsize
+    n = 2 * num_layers * num_kv_heads * block_size * head_dim * itemsize
+    if int8:
+        n += num_layers * 2 * num_kv_heads * head_dim * 4  # scale entries
+    return n
 
 
 def to_kv_dtype(x: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -113,6 +156,48 @@ def to_kv_dtype(x: jnp.ndarray, dtype) -> jnp.ndarray:
     if dtype == FP8_DTYPE:
         return jnp.clip(x.astype(jnp.float32), -FP8_MAX, FP8_MAX).astype(dtype)
     return x.astype(dtype)
+
+
+def _page_scales_for_write(
+    scale_arr: jnp.ndarray,  # (NB, 2, Hkv, D) f32
+    k_new: jnp.ndarray,  # (T, Hkv, D)
+    v_new: jnp.ndarray,
+    blocks: jnp.ndarray,  # (T,) int32
+    offsets: jnp.ndarray,  # (T,)
+    valid: jnp.ndarray,  # (T,) bool
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Update per-page channel scales for an int8 write and return
+    (new scale array, per-row K scale, per-row V scale).
+
+    Pages whose row 0 is written in this batch are (re)started: their scale
+    entry is SET from this batch's channel absmax x KV_INT8_MARGIN (safe
+    against stale entries from a previous owner of the block). Appended
+    pages reuse their existing entry — consistent because a page's rows are
+    only ever written front-to-back."""
+    nb = scale_arr.shape[0]
+    seg = jnp.where(valid, blocks, nb)  # PAD rows -> overflow segment
+    absk = jnp.abs(k_new.astype(jnp.float32))
+    absv = jnp.abs(v_new.astype(jnp.float32))
+    page_max_k = jax.ops.segment_max(absk, seg, num_segments=nb + 1)[:-1]
+    page_max_v = jax.ops.segment_max(absv, seg, num_segments=nb + 1)[:-1]
+    started = (
+        jax.ops.segment_max(
+            (valid & (offsets == 0)).astype(jnp.int32), seg, num_segments=nb + 1
+        )[:-1]
+        > 0
+    )  # (NB,)
+    fresh = (
+        jnp.stack([page_max_k, page_max_v], axis=1)  # (NB, 2, Hkv, D)
+        * (KV_INT8_MARGIN / 127.0)
+    )
+    scale_arr = jnp.where(started[:, None, None, None], fresh, scale_arr)
+    row_scale = scale_arr[jnp.clip(blocks, 0, nb - 1)]  # (T, 2, Hkv, D)
+    return scale_arr, row_scale[:, 0], row_scale[:, 1]
+
+
+def _quantize_rows(x: jnp.ndarray, row_scale: jnp.ndarray) -> jnp.ndarray:
+    q = x.astype(jnp.float32) / jnp.maximum(row_scale, 1e-20)
+    return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
 
 
 def write_kv_layer(
@@ -125,6 +210,22 @@ def write_kv_layer(
     bs = cache.block_size
     k = list(cache.k)
     v = list(cache.v)
+    if cache.is_int8:
+        blocks_i = slot_mapping // bs
+        offsets_i = slot_mapping % bs
+        valid = slot_mapping != PAD_SLOT
+        scale = list(cache.scale)
+        scale[layer], ks_row, vs_row = _page_scales_for_write(
+            scale[layer], k_new, v_new, blocks_i, offsets_i, valid
+        )
+        k_q = _quantize_rows(k_new, ks_row)
+        v_q = _quantize_rows(v_new, vs_row)
+        heads = jnp.arange(k[layer].shape[1], dtype=slot_mapping.dtype)
+        idx = (blocks_i[:, None], heads[None, :], offsets_i[:, None])
+        # PAD rows: blocks_i is huge -> mode="drop" discards them.
+        k[layer] = k[layer].at[idx].set(k_q, mode="drop")
+        v[layer] = v[layer].at[idx].set(v_q, mode="drop")
+        return KVCache(k=tuple(k), v=tuple(v), scale=tuple(scale))
     k_q = to_kv_dtype(k_new, k[layer].dtype)
     v_q = to_kv_dtype(v_new, v[layer].dtype)
     # NOTE: XLA lowers this scatter to a serial per-row loop (~3.5 ms/step
@@ -161,9 +262,15 @@ def gather_kv_for_seqs(
     from HBM instead."""
     B, NB = block_tables.shape
 
-    def gather_one(data):
+    def gather_one(data, sc=None):
         g = data[block_tables]  # (B, NB, Hkv, BSZ, D)
         g = g.astype(jnp.float32).transpose(0, 1, 3, 2, 4)  # (B, NB, BSZ, Hkv, D)
+        if sc is not None:  # int8: per-(page, head, channel) dequant
+            g = g * sc[block_tables][:, :, None]  # (B, NB, 1, Hkv, D)
         return g.reshape(B, NB * block_size, *g.shape[3:]).astype(out_dtype)
 
-    return gather_one(cache.k[layer]), gather_one(cache.v[layer])
+    ks = vs = None
+    if cache.is_int8:
+        ks = cache.scale[layer][:, 0]  # (NBtot, Hkv, D)
+        vs = cache.scale[layer][:, 1]
+    return gather_one(cache.k[layer], ks), gather_one(cache.v[layer], vs)

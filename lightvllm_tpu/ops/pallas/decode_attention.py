@@ -74,14 +74,22 @@ def _decode_kernel(
     scale: float,
     num_kv_heads: int,
     has_stage: bool,
+    has_scale: bool = False,  # int8 pages: (NBtot, 2, Hkv, D) f32 dequant
 ):
+    refs = list(refs)
+    sc_hbm = refs.pop(0) if has_scale else None
     if has_stage:
-        (ks_ref, vs_ref, o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem,
-         buf_idx_ref, init_ref) = refs
+        ks_ref, vs_ref = refs.pop(0), refs.pop(0)
     else:
-        (o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem, buf_idx_ref,
-         init_ref) = refs
         ks_ref = vs_ref = None
+    o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem = refs[:7]
+    rest = refs[7:]
+    if has_scale:
+        sc_buf, sc_sem = rest[0], rest[1]
+        rest = rest[2:]
+    else:
+        sc_buf = sc_sem = None
+    buf_idx_ref, init_ref = rest
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_b = pl.num_programs(0)
@@ -118,6 +126,11 @@ def _decode_kernel(
                 c.start()
             for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, 0, ppcb):
                 c.start()
+            if has_scale:
+                for c in _chunk_copies(
+                    sc_hbm, sc_buf, sc_sem, tables_ref, b, i, 0, ppcb
+                ):
+                    c.start()
 
         buf_idx = buf_idx_ref[0]
 
@@ -139,6 +152,11 @@ def _decode_kernel(
                 v_hbm, v_buf, v_sem, tables_ref, next_b, next_i, nxt, ppcb
             ):
                 c.start()
+            if has_scale:
+                for c in _chunk_copies(
+                    sc_hbm, sc_buf, sc_sem, tables_ref, next_b, next_i, nxt, ppcb
+                ):
+                    c.start()
             buf_idx_ref[0] = nxt
 
         # Wait for this chunk's K pages. All heads fold into ONE matmul pair:
@@ -160,7 +178,19 @@ def _decode_kernel(
         # array across sublane dims lowers to a slow Mosaic relayout
         # (measured ~1.9 ms/layer vs 0.3 for bf16); the elementwise cast on
         # the native page layout is cheap and the bf16 reshape is free.
-        k = k_buf[buf_idx].astype(cd).reshape(Tbig, -1)  # (Tbig, D)
+        k4 = k_buf[buf_idx].astype(cd)  # (ppcb, Hkv, BSZ, D)
+        if has_scale:
+            for c in _chunk_copies(
+                sc_hbm, sc_buf, sc_sem, tables_ref, b, i, buf_idx, ppcb
+            ):
+                c.wait()
+            # int8 dequant: per-(page, head, channel) scale — a lane-
+            # preserving broadcast over the BSZ sublanes (chunk-sized VPU
+            # work, O(Tbig*D), nothing like the weight-sized dequant the
+            # quant-matmul kernel had to avoid).
+            sc_k = sc_buf[buf_idx][:, 0][:, :, None, :]  # (ppcb, Hkv, 1, D)
+            k4 = (k4.astype(jnp.float32) * sc_k).astype(cd)
+        k = k4.reshape(Tbig, -1)  # (Tbig, D)
         s = jax.lax.dot_general(
             q.astype(cd),
             k,
@@ -186,7 +216,11 @@ def _decode_kernel(
 
         for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, buf_idx, ppcb):
             c.wait()
-        v = v_buf[buf_idx].astype(cd).reshape(Tbig, -1)  # (Tbig, D)
+        v4 = v_buf[buf_idx].astype(cd)
+        if has_scale:
+            sc_v = sc_buf[buf_idx][:, 1][:, :, None, :]
+            v4 = (v4.astype(jnp.float32) * sc_v).astype(cd)
+        v = v4.reshape(Tbig, -1)  # (Tbig, D)
         o_cur = jax.lax.dot(
             p.astype(cd), v, preferred_element_type=jnp.float32
         )  # (HG, D)
@@ -246,6 +280,7 @@ def paged_flash_decode(
     k_stage: jnp.ndarray | None = None,  # (B, Hkv, W, D) dense staging tail
     v_stage: jnp.ndarray | None = None,
     stage_len: jnp.ndarray | None = None,  # scalar int32: valid staging rows
+    kv_scale: jnp.ndarray | None = None,  # int8 pages: (NBtot, 2, Hkv, D) f32
     *,
     block_size: int,
     scale: float,
@@ -279,12 +314,16 @@ def paged_flash_decode(
         stage_len = jnp.int32(0)
     stage_len = jnp.reshape(stage_len, (1,)).astype(jnp.int32)
 
+    has_scale = kv_scale is not None
     in_specs = [
         pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [qg, k_pages, v_pages]
+    if has_scale:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(kv_scale)
     if has_stage:
         W = k_stage.shape[2]
         in_specs += [
@@ -293,21 +332,30 @@ def paged_flash_decode(
         ]
         inputs += [k_stage, v_stage]
 
+    scratch_shapes = [
+        pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+        pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+        pltpu.VMEM((2, ppcb, Hkv, block_size, D), k_pages.dtype),
+        pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if has_scale:
+        scratch_shapes += [
+            pltpu.VMEM((2, ppcb, 2, Hkv, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    scratch_shapes += [
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, num_chunks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
-            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
-            pltpu.VMEM((2, ppcb, Hkv, block_size, D), k_pages.dtype),
-            pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     kernel = pl.pallas_call(
@@ -318,6 +366,7 @@ def paged_flash_decode(
             scale=scale,
             num_kv_heads=Hkv,
             has_stage=has_stage,
+            has_scale=has_scale,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),

@@ -45,22 +45,26 @@ def _flush_kernel(
     v_stage_ref,
     k_pages_in,  # (NBtot, Hkv, BSZ, D) ANY, aliased to outputs
     v_pages_in,
-    # outputs (aliased)
-    k_pages_out,
-    v_pages_out,
-    # scratch
-    k_win,  # (MAX_SEGS, Hkv, WA, D) VMEM
-    v_win,
-    read_sems,  # DMA (MAX_SEGS, 2)
-    write_sems,  # DMA (MAX_SEGS, 2)
-    *,
+    # [sc_pages_in when int8]: (NBtot, 2, Hkv, D) f32 ANY, aliased
+    # outputs (aliased): k_pages_out, v_pages_out, [sc_pages_out]
+    # scratch: k_win, v_win (MAX_SEGS, Hkv, WA, D); [sc_win (MAX_SEGS, 2,
+    #          Hkv, D) f32]; read_sems, write_sems DMA (MAX_SEGS, 2|3)
+    *refs,
     block_size: int,
     window: int,
     wa: int,
     align: int,
     max_segs: int,
     num_blocks: int,
+    int8_kv: bool = False,
 ):
+    refs = list(refs)
+    if int8_kv:
+        (sc_pages_in, k_pages_out, v_pages_out, sc_pages_out, k_win, v_win,
+         sc_win, read_sems, write_sems) = refs
+    else:
+        (k_pages_out, v_pages_out, k_win, v_win, read_sems, write_sems) = refs
+        sc_pages_in = sc_pages_out = sc_win = None
     b = pl.program_id(0)
     p0 = start_ref[b]
     valid_seq = p0 >= 0
@@ -101,6 +105,12 @@ def _flush_kernel(
                 v_win.at[seg],
                 read_sems.at[seg, 1],
             ).start()
+            if int8_kv:
+                pltpu.make_async_copy(
+                    sc_pages_in.at[page],
+                    sc_win.at[seg],
+                    read_sems.at[seg, 2],
+                ).start()
 
     for seg in range(max_segs):
         page, win_start, row0, n, stage_off = seg_geom(seg)
@@ -120,6 +130,12 @@ def _flush_kernel(
                 v_win.at[seg],
                 read_sems.at[seg, 1],
             ).wait()
+            if int8_kv:
+                pltpu.make_async_copy(
+                    sc_pages_in.at[page],
+                    sc_win.at[seg],
+                    read_sems.at[seg, 2],
+                ).wait()
             Hkv, W = k_stage_ref.shape[1], k_stage_ref.shape[2]
             # One-hot placement: P[r, j] selects staged row j for window
             # row r (dynamic shift as an MXU matmul; exact for one-hot).
@@ -140,7 +156,7 @@ def _flush_kernel(
                 None, :, :
             ]  # (1, WA, 1)
 
-            def compose(stage_ref, win_ref):
+            def compose(stage_ref, win_ref, sc_slot):
                 shifted = jax.lax.dot_general(
                     Pb,
                     stage_ref[0].astype(mm_dt),
@@ -148,7 +164,24 @@ def _flush_kernel(
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (Hkv, WA, D)
-                if jnp.dtype(win_ref.dtype).itemsize == 1:
+                if int8_kv:
+                    # Per-(page, head, channel) scale: a (re)started page
+                    # (row 0 written here) gets a fresh entry from this
+                    # window's rows x KV_INT8_MARGIN headroom; an appended
+                    # page reuses its existing entry (ops/kv_cache.py).
+                    from lightvllm_tpu.ops.kv_cache import KV_INT8_MARGIN
+
+                    absmax = jnp.max(
+                        jnp.where(take_row, jnp.abs(shifted), 0.0), axis=1
+                    )  # (Hkv, D)
+                    fresh = absmax * (KV_INT8_MARGIN / 127.0)
+                    sel = jnp.where(
+                        row0 == 0, fresh, sc_win[seg, sc_slot]
+                    )  # (Hkv, D)
+                    sc_win[seg, sc_slot] = sel
+                    q = shifted / jnp.maximum(sel[:, None, :], 1e-20)
+                    shifted = jnp.clip(jnp.round(q), -127.0, 127.0)
+                elif jnp.dtype(win_ref.dtype).itemsize == 1:
                     # e4m3 saturates at +-448 (matches kv_cache.to_kv_dtype)
                     shifted = jnp.clip(shifted, -448.0, 448.0)
                 win_ref[...] = jnp.where(
@@ -157,8 +190,8 @@ def _flush_kernel(
                     win_ref[...],
                 )
 
-            compose(k_stage_ref, k_win.at[seg])
-            compose(v_stage_ref, v_win.at[seg])
+            compose(k_stage_ref, k_win.at[seg], 0)
+            compose(v_stage_ref, v_win.at[seg], 1)
             pltpu.make_async_copy(
                 k_win.at[seg],
                 k_pages_out.at[page, :, pl.ds(win_start, wa)],
@@ -169,6 +202,12 @@ def _flush_kernel(
                 v_pages_out.at[page, :, pl.ds(win_start, wa)],
                 write_sems.at[seg, 1],
             ).start()
+            if int8_kv:
+                pltpu.make_async_copy(
+                    sc_win.at[seg],
+                    sc_pages_out.at[page],
+                    write_sems.at[seg, 2],
+                ).start()
 
     # Drain writes before this grid step ends (the next sequence reuses the
     # window scratch slots).
@@ -187,6 +226,12 @@ def _flush_kernel(
                 v_pages_out.at[page, :, pl.ds(win_start, wa)],
                 write_sems.at[seg, 1],
             ).wait()
+            if int8_kv:
+                pltpu.make_async_copy(
+                    sc_win.at[seg],
+                    sc_pages_out.at[page],
+                    write_sems.at[seg, 2],
+                ).wait()
 
 
 @functools.partial(
@@ -199,13 +244,17 @@ def kv_flush_pallas(
     v_stage: jnp.ndarray,
     start_pos: jnp.ndarray,  # (B,) int32 first staged position; < 0 skips
     block_tables: jnp.ndarray,  # (B, NB) int32
+    kv_scale: jnp.ndarray | None = None,  # int8: (NB, 2, Hkv, D) f32, RMW'd
     *,
     block_size: int,
     window: int,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+):
     B, Hkv, W, D = k_stage.shape
     assert W == window
+    int8_kv = kv_scale is not None
+    if int8_kv:
+        assert k_pages.dtype == jnp.int8, k_pages.dtype
     # Aligned RMW window: covers any [row0, row0+n) span (n <= window) from
     # a tile-aligned start. Mosaic requires the dynamic sublane DMA offset
     # divisible by the dtype's native tile height: 8 sublanes for >= 2-byte
@@ -228,6 +277,7 @@ def kv_flush_pallas(
             align=align,
             max_segs=max_segs,
             num_blocks=k_pages.shape[0],
+            int8_kv=int8_kv,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -237,30 +287,41 @@ def kv_flush_pallas(
                 pl.BlockSpec((1, Hkv, W, D), lambda b, *_: (b, 0, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            + ([pl.BlockSpec(memory_space=pl.ANY)] if int8_kv else []),
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pl.ANY)
+                for _ in range(3 if int8_kv else 2)
             ),
             scratch_shapes=[
                 pltpu.VMEM((max_segs, Hkv, wa, D), k_pages.dtype),
                 pltpu.VMEM((max_segs, Hkv, wa, D), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((max_segs, 2)),
-                pltpu.SemaphoreType.DMA((max_segs, 2)),
+            ]
+            + (
+                [pltpu.VMEM((max_segs, 2, Hkv, D), jnp.float32)]
+                if int8_kv else []
+            )
+            + [
+                pltpu.SemaphoreType.DMA((max_segs, 3 if int8_kv else 2)),
+                pltpu.SemaphoreType.DMA((max_segs, 3 if int8_kv else 2)),
             ],
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
-            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(x.shape, x.dtype)
+            for x in ((k_pages, v_pages, kv_scale) if int8_kv
+                      else (k_pages, v_pages))
         ),
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases=(
+            {4: 0, 5: 1, 6: 2} if int8_kv else {4: 0, 5: 1}
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    return kernel(
-        start_pos.astype(jnp.int32), block_tables, k_stage, v_stage,
-        k_pages, v_pages,
-    )
+    args = [start_pos.astype(jnp.int32), block_tables, k_stage, v_stage,
+            k_pages, v_pages]
+    if int8_kv:
+        args.append(kv_scale)
+    return kernel(*args)

@@ -58,25 +58,29 @@ def _prefill_kernel(
     q_ref,  # (1, Hkv, TQ*G, D) VMEM
     k_hbm,  # (NBtot, Hkv, BSZ, D) ANY (HBM), one layer's pages
     v_hbm,
-    # outputs
-    o_ref,  # (1, Hkv, TQ*G, D) f32 VMEM
-    # scratch
-    m_ref,  # (Hkv, TQ*G, 128) f32
-    l_ref,
-    k_buf,  # (2, ppcb, Hkv, BSZ, D)
-    v_buf,
-    k_sem,
-    v_sem,
-    buf_idx_ref,  # SMEM (1,)
-    init_ref,  # SMEM (1,)
-    *,
+    # [sc_hbm when has_scale]: (NBtot, 2, Hkv, D) f32 int8-dequant scales
+    # outputs: o_ref (1, Hkv, TQ*G, D) f32 VMEM
+    # scratch: m_ref, l_ref (Hkv, TQ*G, 128) f32; k_buf/v_buf; sems;
+    #          [sc_buf, sc_sem when has_scale]; smem flags
+    *refs,
     block_size: int,
     ppcb: int,
     tq: int,
     scale: float,
     num_kv_heads: int,
     group: int,
+    has_scale: bool = False,
 ):
+    refs = list(refs)
+    sc_hbm = refs.pop(0) if has_scale else None
+    o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem = refs[:7]
+    rest = refs[7:]
+    if has_scale:
+        sc_buf, sc_sem = rest[0], rest[1]
+        rest = rest[2:]
+    else:
+        sc_buf = sc_sem = None
+    buf_idx_ref, init_ref = rest
     b = pl.program_id(0)
     qt = pl.program_id(1)
     c = pl.program_id(2)
@@ -102,12 +106,22 @@ def _prefill_kernel(
             cp.start()
         for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, b_, c_, slot, ppcb):
             cp.start()
+        if has_scale:
+            for cp in _page_copies(
+                sc_hbm, sc_buf, sc_sem, tables_ref, b_, c_, slot, ppcb
+            ):
+                cp.start()
 
     def wait_chunk(b_, c_, slot):
         for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, b_, c_, slot, ppcb):
             cp.wait()
         for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, b_, c_, slot, ppcb):
             cp.wait()
+        if has_scale:
+            for cp in _page_copies(
+                sc_hbm, sc_buf, sc_sem, tables_ref, b_, c_, slot, ppcb
+            ):
+                cp.wait()
 
     @pl.when((b == 0) & (qt == 0) & (c == 0))
     def _zero_flags():
@@ -166,7 +180,11 @@ def _prefill_kernel(
             q = q_ref[0, h].astype(jnp.float32) * scale  # (rows, D)
             # Cast before the sublane-merging reshape (slow relayout on
             # 8-bit arrays; see the decode kernel).
-            k = k_buf[buf_idx, :, h].astype(cd).reshape(chunk_tokens, -1)
+            k3 = k_buf[buf_idx, :, h].astype(cd)  # (ppcb, BSZ, D)
+            if has_scale:
+                sck = sc_buf[buf_idx][:, 0, h][:, None, :]  # (ppcb, 1, D)
+                k3 = (k3.astype(jnp.float32) * sck).astype(cd)
+            k = k3.reshape(chunk_tokens, -1)
             s = jax.lax.dot_general(
                 q.astype(cd),
                 k,
@@ -185,7 +203,11 @@ def _prefill_kernel(
             m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(l_next, l_ref.shape[1:])
 
-            v = v_buf[buf_idx, :, h].astype(cd).reshape(chunk_tokens, -1)
+            v3 = v_buf[buf_idx, :, h].astype(cd)
+            if has_scale:
+                scv = sc_buf[buf_idx][:, 1, h][:, None, :]
+                v3 = (v3.astype(jnp.float32) * scv).astype(cd)
+            v = v3.reshape(chunk_tokens, -1)
             o_cur = jax.lax.dot(
                 p.astype(cd), v, preferred_element_type=jnp.float32
             )  # (rows, D)
@@ -214,6 +236,7 @@ def paged_flash_prefill(
     block_tables: jnp.ndarray,  # (B, NB) int32
     ctx_lens: jnp.ndarray,  # (B,) int32 full lengths (cached + new)
     cached_lens: jnp.ndarray,  # (B,) int32 prefix-cached lengths
+    kv_scale: jnp.ndarray | None = None,  # int8 pages: (NBtot, 2, Hkv, D) f32
     *,
     block_size: int,
     scale: float,
@@ -253,28 +276,42 @@ def paged_flash_prefill(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Sqp - Sq), (0, 0), (0, 0)))
     qg = qg.reshape(B, Hkv, Sqp * G, D)
 
+    has_scale = kv_scale is not None
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [
+        pl.BlockSpec((1, Hkv, tq * G, D), lambda b, qt, c, *_: (b, 0, qt, 0)),
+        any_spec,
+        any_spec,
+    ]
+    inputs = [qg, k_pages, v_pages]
+    if has_scale:
+        in_specs.append(any_spec)
+        inputs.append(kv_scale)
+    scratch_shapes = [
+        pltpu.VMEM((Hkv, tq * G, 128), jnp.float32),
+        pltpu.VMEM((Hkv, tq * G, 128), jnp.float32),
+        pltpu.VMEM((2, ppcb, Hkv, block_size, D), k_pages.dtype),
+        pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if has_scale:
+        scratch_shapes += [
+            pltpu.VMEM((2, ppcb, 2, Hkv, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    scratch_shapes += [
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, num_qt, num_chunks),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, tq * G, D), lambda b, qt, c, *_: (b, 0, qt, 0)),
-            any_spec,
-            any_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Hkv, tq * G, D), lambda b, qt, c, *_: (b, 0, qt, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((Hkv, tq * G, 128), jnp.float32),
-            pltpu.VMEM((Hkv, tq * G, 128), jnp.float32),
-            pltpu.VMEM((2, ppcb, Hkv, block_size, D), k_pages.dtype),
-            pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     kernel = pl.pallas_call(
@@ -286,6 +323,7 @@ def paged_flash_prefill(
             scale=scale,
             num_kv_heads=Hkv,
             group=G,
+            has_scale=has_scale,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Sqp * G, D), jnp.float32),
@@ -294,7 +332,7 @@ def paged_flash_prefill(
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    out = kernel(clamped_tables, ctx_lens, cached_lens, qg, k_pages, v_pages)
+    out = kernel(clamped_tables, ctx_lens, cached_lens, *inputs)
     # (B, Hkv, Sqp*G, D) -> (B, Sqp, Hq, D) -> strip padding.
     out = out.reshape(B, Hkv, Sqp, G, D).transpose(0, 2, 1, 3, 4)
     return out[:, :Sq].reshape(B, Sq, Hq, D).astype(q.dtype)

@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--compare", action="store_true")
     ap.add_argument("--max-tokens", type=int, default=0)
-    ap.add_argument("--kv", choices=["auto", "fp8"], default="auto",
+    ap.add_argument("--kv", choices=["auto", "fp8", "int8"], default="auto",
                     help="KV cache dtype for the quantized run")
     ap.add_argument("--attn", choices=["jnp", "pallas"], default="jnp",
                     help="attention implementation (pallas = serving kernels)")

@@ -59,7 +59,7 @@ def apply_ablation(name: str):
     elif name == "logits":
         real = qwen3.compute_logits
 
-        def cheap_logits(params, spec, h):
+        def cheap_logits(params, spec, h, tp_axis=None):
             s = jnp.sum(h.astype(jnp.float32), axis=-1, keepdims=True)
             return jnp.broadcast_to(s, (h.shape[0], spec.vocab_size))
 

@@ -245,6 +245,7 @@ def gate(attn_impls=("jnp",)) -> None:
     for attn in attn_impls:
         base = None
         for quant, kv in ((None, "auto"), ("int8", "auto"), ("int4", "auto"),
+                          (None, "int8"), ("int8", "int8"), ("int4", "int8"),
                           ("int8", "fp8"), ("int4", "fp8")):
             if quant is None:
                 p = params_bf16

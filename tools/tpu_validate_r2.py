@@ -154,3 +154,103 @@ for a, b in zip(out_sc, out_st):
         print("  scatter:", a["token_ids"][:16])
         print("  staged :", b["token_ids"][:16])
 print("ALL TPU VALIDATION DONE", flush=True)
+
+
+def validate_int8_kv():
+    """INT8 KV on the real chip: flush kernel + decode kernel + prefill
+    kernel vs the jnp oracles, and e2e engine int8 vs exact cache."""
+    from lightvllm_tpu.ops.kv_cache import (
+        alloc_kv_cache, gather_kv_for_seqs, write_kv_layer, PAD_SLOT,
+    )
+    from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
+    from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
+
+    rng = np.random.default_rng(7)
+    NB, Hkv, BSZ, D = 16, 4, 16, 128
+    B, W = 4, 8
+
+    # --- flush kernel int8 (compiled) vs window-scatter oracle ---
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    pre_k, pre_v = mk(12, Hkv, D), mk(12, Hkv, D)
+
+    def fresh():
+        c = alloc_kv_cache(1, Hkv, NB, BSZ, D, jnp.bfloat16, fp8=False, int8=True)
+        return write_kv_layer(c, 0, pre_k, pre_v, jnp.arange(12, dtype=jnp.int32))
+
+    k_st = mk(B, Hkv, W, D).astype(jnp.bfloat16)
+    v_st = mk(B, Hkv, W, D).astype(jnp.bfloat16)
+    tables = jnp.asarray([[0, 1], [2, 3], [4, 5], [6, 7]], jnp.int32)
+    start = np.asarray([12, 0, BSZ - 3, -(1 << 30)], np.int32)
+
+    oracle = fresh()
+    pos = start[:, None] + np.arange(W)
+    blk = np.take_along_axis(np.asarray(tables), np.clip(pos // BSZ, 0, 1), axis=1)
+    slots = np.where(pos >= 0, blk * BSZ + pos % BSZ, PAD_SLOT)
+    kw = k_st.transpose(0, 2, 1, 3).reshape(B * W, Hkv, D)
+    vw = v_st.transpose(0, 2, 1, 3).reshape(B * W, Hkv, D)
+    oracle = write_kv_layer(oracle, 0, kw, vw, jnp.asarray(slots.reshape(-1), jnp.int32))
+
+    got = fresh()
+    gk, gv, gs = kv_flush_pallas(
+        got.k[0], got.v[0], k_st, v_st, jnp.asarray(start), tables,
+        got.scale[0], block_size=BSZ, window=W)
+    es = np.abs(np.asarray(gs) - np.asarray(oracle.scale[0])).max()
+    ek = np.abs(np.asarray(gk, np.int32) - np.asarray(oracle.k[0], np.int32)).max()
+    ev = np.abs(np.asarray(gv, np.int32) - np.asarray(oracle.v[0], np.int32)).max()
+    print(f"int8 flush: scale_err={es:.3g} k_err={ek} v_err={ev} "
+          f"{'OK' if es < 1e-5 and ek <= 1 and ev <= 1 else 'FAIL'}", flush=True)
+    assert es < 1e-5 and ek <= 1 and ev <= 1  # <=1: f32 vs bf16 rounding edge
+
+    # --- decode kernel int8 vs jnp oracle (uses written cache) ---
+    cache = oracle
+    q = jnp.asarray(rng.standard_normal((B, 8, D)), jnp.bfloat16)
+    ctx = jnp.asarray([20, 8, BSZ + 5, 1], jnp.int32)
+    scale = D ** -0.5
+    got_o = paged_flash_decode(
+        q, cache.k[0], cache.v[0], tables, ctx, kv_scale=cache.scale[0],
+        block_size=BSZ, scale=scale)
+    kf, vf = gather_kv_for_seqs(cache, 0, tables, BSZ, jnp.float32)
+    out_ref = np.zeros((B, 8, D), np.float32)
+    qf = np.asarray(q, np.float32)
+    G = 8 // Hkv
+    for b in range(B):
+        kk = np.asarray(kf)[b][: int(ctx[b])]
+        vv = np.asarray(vf)[b][: int(ctx[b])]
+        for h in range(8):
+            s = (kk[:, h // G] @ qf[b, h]) * scale
+            p = np.exp(s - s.max()); p /= p.sum()
+            out_ref[b, h] = p @ vv[:, h // G]
+    err = np.abs(np.asarray(got_o, np.float32) - out_ref).max()
+    print(f"int8 flash decode: err={err:.4g} {'OK' if err < 3e-2 else 'FAIL'}",
+          flush=True)
+    assert err < 3e-2
+
+    # --- e2e engine: int8 KV tokens track the exact cache ---
+    from lightvllm_tpu import SamplingParams
+    from lightvllm_tpu.engine.llm_engine import LLMEngine
+    from lightvllm_tpu.models import qwen3
+
+    spec = qwen3.ModelSpec(
+        num_layers=2, hidden_size=256, num_q_heads=8, num_kv_heads=4,
+        head_dim=128, intermediate_size=512, vocab_size=512, rope_theta=1e4,
+        rms_eps=1e-6, tie_word_embeddings=True, dtype="bfloat16",
+    )
+    params = qwen3.init_params(spec, jax.random.PRNGKey(0))
+    kw2 = dict(spec=spec, params=params, kvcache_block_size=16,
+               num_kvcache_blocks=128, max_model_len=256, max_num_seqs=4,
+               eos=511, decode_window=8, warmup_shapes=False,
+               kv_size_probe=False)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [11] * 15, [3]]
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+    ref = LLMEngine(**kw2).generate(prompts, sp, use_tqdm=False)
+    got8 = LLMEngine(kv_cache_dtype="int8", **kw2).generate(
+        prompts, sp, use_tqdm=False)
+    n = sum(a["token_ids"] == b["token_ids"] for a, b in zip(ref, got8))
+    print(f"int8 e2e: {n}/{len(prompts)} sequences identical to exact-cache",
+          flush=True)
+    assert n >= 3
+    print("INT8 KV VALIDATION DONE", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("VALIDATE_INT8"):
+    validate_int8_kv()
