@@ -55,10 +55,24 @@ def _chunk_copies(pages_hbm, buf, sem, tables_ref, b, chunk, buf_idx, ppcb):
     ]
 
 
+def _run_chunk_copies(op, copies, npages_ref, b, chunk, ppcb):
+    """start()/wait() each page copy only if the page is inside the
+    sequence's context: the last chunk of a context is usually partial, and
+    unconditionally fetching its clamped straggler pages costs real HBM
+    bytes (up to (ppcb-1)/ppcb of a chunk per sequence per layer). Start
+    and wait conditions match, so the shared semaphore stays balanced."""
+    np_b = npages_ref[b]
+    for j, c in enumerate(copies):
+        @pl.when(chunk * ppcb + j < np_b)
+        def _go(c=c):
+            getattr(c, op)()
+
+
 def _decode_kernel(
     # scalar prefetch
     tables_ref,  # (B, NB_padded) int32
     ctx_lens_ref,  # (B,) int32
+    npages_ref,  # (B,) int32 valid pages per seq (>= 1): gates page DMAs
     stage_len_ref,  # (1,) int32 (number of valid staging rows; 0 = no stage)
     # inputs
     q_ref,  # (1, Hkv, Gp, D) VMEM
@@ -104,10 +118,15 @@ def _decode_kernel(
         return (i_ == 0) | (i_ * chunk_tokens < ctx_lens_ref[b_])
 
     # SMEM scratch is uninitialized: zero the init flag on the very first
-    # grid instance (always valid since every ctx >= 1).
+    # grid instance (always valid since every ctx >= 1). Page buffers are
+    # zeroed too: partial-chunk page DMAs are skipped (npages gating), and
+    # a never-written VMEM slot could hold NaN bit patterns that poison the
+    # masked 0 * garbage products.
     @pl.when((b == 0) & (i == 0))
     def _zero_flags():
         init_ref[0] = 0
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
 
     @pl.when(chunk_valid(b, i))
     def _body():
@@ -122,15 +141,22 @@ def _decode_kernel(
         def _first():
             init_ref[0] = 1
             buf_idx_ref[0] = 0
-            for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, b, i, 0, ppcb):
-                c.start()
-            for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, 0, ppcb):
-                c.start()
+            _run_chunk_copies(
+                "start",
+                _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, b, i, 0, ppcb),
+                npages_ref, b, i, ppcb,
+            )
+            _run_chunk_copies(
+                "start",
+                _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, 0, ppcb),
+                npages_ref, b, i, ppcb,
+            )
             if has_scale:
-                for c in _chunk_copies(
-                    sc_hbm, sc_buf, sc_sem, tables_ref, b, i, 0, ppcb
-                ):
-                    c.start()
+                _run_chunk_copies(
+                    "start",
+                    _chunk_copies(sc_hbm, sc_buf, sc_sem, tables_ref, b, i, 0, ppcb),
+                    npages_ref, b, i, ppcb,
+                )
 
         buf_idx = buf_idx_ref[0]
 
@@ -144,19 +170,22 @@ def _decode_kernel(
         @pl.when(has_next)
         def _prefetch():
             nxt = 1 - buf_idx
-            for c in _chunk_copies(
-                k_hbm, k_buf, k_sem, tables_ref, next_b, next_i, nxt, ppcb
-            ):
-                c.start()
-            for c in _chunk_copies(
-                v_hbm, v_buf, v_sem, tables_ref, next_b, next_i, nxt, ppcb
-            ):
-                c.start()
+            _run_chunk_copies(
+                "start",
+                _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, next_b, next_i, nxt, ppcb),
+                npages_ref, next_b, next_i, ppcb,
+            )
+            _run_chunk_copies(
+                "start",
+                _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, next_b, next_i, nxt, ppcb),
+                npages_ref, next_b, next_i, ppcb,
+            )
             if has_scale:
-                for c in _chunk_copies(
-                    sc_hbm, sc_buf, sc_sem, tables_ref, next_b, next_i, nxt, ppcb
-                ):
-                    c.start()
+                _run_chunk_copies(
+                    "start",
+                    _chunk_copies(sc_hbm, sc_buf, sc_sem, tables_ref, next_b, next_i, nxt, ppcb),
+                    npages_ref, next_b, next_i, ppcb,
+                )
             buf_idx_ref[0] = nxt
 
         # Wait for this chunk's K pages. All heads fold into ONE matmul pair:
@@ -166,8 +195,11 @@ def _decode_kernel(
         # yields correct per-head outputs. Decode is HBM-bound, so the extra
         # MXU work is cheap — and under tensor parallelism the local Hkv
         # (the waste factor) shrinks toward 1.
-        for c in _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, b, i, buf_idx, ppcb):
-            c.wait()
+        _run_chunk_copies(
+            "wait",
+            _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, b, i, buf_idx, ppcb),
+            npages_ref, b, i, ppcb,
+        )
 
         Hkv, Gp = q_ref.shape[1], q_ref.shape[2]
         HG = Hkv * Gp
@@ -180,10 +212,11 @@ def _decode_kernel(
         # the native page layout is cheap and the bf16 reshape is free.
         k4 = k_buf[buf_idx].astype(cd)  # (ppcb, Hkv, BSZ, D)
         if has_scale:
-            for c in _chunk_copies(
-                sc_hbm, sc_buf, sc_sem, tables_ref, b, i, buf_idx, ppcb
-            ):
-                c.wait()
+            _run_chunk_copies(
+                "wait",
+                _chunk_copies(sc_hbm, sc_buf, sc_sem, tables_ref, b, i, buf_idx, ppcb),
+                npages_ref, b, i, ppcb,
+            )
             # int8 dequant: per-(page, head, channel) scale — a lane-
             # preserving broadcast over the BSZ sublanes (chunk-sized VPU
             # work, O(Tbig*D), nothing like the weight-sized dequant the
@@ -214,8 +247,11 @@ def _decode_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-        for c in _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, buf_idx, ppcb):
-            c.wait()
+        _run_chunk_copies(
+            "wait",
+            _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, buf_idx, ppcb),
+            npages_ref, b, i, ppcb,
+        )
         v4 = v_buf[buf_idx].astype(cd)
         if has_scale:
             sc_v = sc_buf[buf_idx][:, 1][:, :, None, :]
@@ -351,7 +387,7 @@ def paged_flash_decode(
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, num_chunks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
@@ -376,5 +412,5 @@ def paged_flash_decode(
         # The TPU-flavored interpreter handles DMAs/semaphores on CPU.
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    out = kernel(clamped_tables, ctx_lens, stage_len, *inputs)
+    out = kernel(clamped_tables, ctx_lens, num_pages, stage_len, *inputs)
     return out[:, :, :G].reshape(B, Hq, D).astype(q.dtype)
