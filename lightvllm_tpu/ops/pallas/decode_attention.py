@@ -218,11 +218,12 @@ def _decode_kernel(
                 npages_ref, b, i, ppcb,
             )
             # int8 dequant: per-(page, head, channel) scale — a lane-
-            # preserving broadcast over the BSZ sublanes (chunk-sized VPU
-            # work, O(Tbig*D), nothing like the weight-sized dequant the
-            # quant-matmul kernel had to avoid).
-            sc_k = sc_buf[buf_idx][:, 0][:, :, None, :]  # (ppcb, Hkv, 1, D)
-            k4 = (k4.astype(jnp.float32) * sc_k).astype(cd)
+            # preserving broadcast over the BSZ sublanes, ONE bf16 VPU pass
+            # (an f32 upcast-multiply-downcast chain here measurably eats
+            # the bandwidth win at moderate context; bf16 scale rounding is
+            # ~2^-9 relative, far below the int8 quantization step).
+            sc_k = sc_buf[buf_idx][:, 0][:, :, None, :].astype(cd)
+            k4 = k4 * sc_k
         k = k4.reshape(Tbig, -1)  # (Tbig, D)
         s = jax.lax.dot_general(
             q.astype(cd),
@@ -254,8 +255,8 @@ def _decode_kernel(
         )
         v4 = v_buf[buf_idx].astype(cd)
         if has_scale:
-            sc_v = sc_buf[buf_idx][:, 1][:, :, None, :]
-            v4 = (v4.astype(jnp.float32) * sc_v).astype(cd)
+            sc_v = sc_buf[buf_idx][:, 1][:, :, None, :].astype(cd)
+            v4 = v4 * sc_v
         v = v4.reshape(Tbig, -1)  # (Tbig, D)
         o_cur = jax.lax.dot(
             p.astype(cd), v, preferred_element_type=jnp.float32

@@ -182,8 +182,9 @@ def _prefill_kernel(
             # 8-bit arrays; see the decode kernel).
             k3 = k_buf[buf_idx, :, h].astype(cd)  # (ppcb, BSZ, D)
             if has_scale:
-                sck = sc_buf[buf_idx][:, 0, h][:, None, :]  # (ppcb, 1, D)
-                k3 = (k3.astype(jnp.float32) * sck).astype(cd)
+                # One bf16 VPU pass (see the decode kernel note).
+                sck = sc_buf[buf_idx][:, 0, h][:, None, :].astype(cd)
+                k3 = k3 * sck
             k = k3.reshape(chunk_tokens, -1)
             s = jax.lax.dot_general(
                 q.astype(cd),
@@ -205,8 +206,8 @@ def _prefill_kernel(
 
             v3 = v_buf[buf_idx, :, h].astype(cd)
             if has_scale:
-                scv = sc_buf[buf_idx][:, 1, h][:, None, :]
-                v3 = (v3.astype(jnp.float32) * scv).astype(cd)
+                scv = sc_buf[buf_idx][:, 1, h][:, None, :].astype(cd)
+                v3 = v3 * scv
             v = v3.reshape(chunk_tokens, -1)
             o_cur = jax.lax.dot(
                 p.astype(cd), v, preferred_element_type=jnp.float32
