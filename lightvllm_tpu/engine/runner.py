@@ -112,7 +112,8 @@ class ModelRunner:
 
         def prefill_fn(params, token_ids, meta, cache, key, extended):
             logits, cache = qwen3.forward_prefill(
-                params, spec, token_ids, meta, cache, bs, attn_impl=attn_impl
+                params, spec, token_ids, meta, cache, bs, attn_impl=attn_impl,
+                page_aligned_kv=True,  # prepare_prefill block-pads regions
             )
             tokens = sample(
                 logits,
@@ -585,7 +586,11 @@ class ModelRunner:
     def _prefill_buckets(self, seqs: list[Sequence]) -> tuple[int, int, int, int]:
         bs = self.block_size
         lens = [len(s) - s.num_cached_tokens for s in seqs] or [1]
-        T = bucket(sum(lens), minimum=16)
+        # Each sequence's region is padded to whole blocks in the flat
+        # stream (page-aligned KV writes, ops/kv_cache.write_kv_pages), so
+        # the T bucket covers the block-padded total.
+        padded = sum(-(-n // bs) * bs for n in lens)
+        T = bucket(max(padded, bs), minimum=bs)
         B = bucket(max(1, len(seqs)), minimum=1)
         Sq = bucket(max(lens), minimum=16)
         NB = bucket(
@@ -636,7 +641,11 @@ class ModelRunner:
             top_ks[b] = seq.top_k
             top_ps[b] = seq.top_p
             seeds[b] = -1 if seq.seed is None else seq.seed
-            t += n
+            # Advance to the next block boundary: per-seq regions stay
+            # page-aligned (uncached runs start on block boundaries because
+            # prefix hits are whole blocks), enabling whole-page KV writes.
+            # The alignment rows keep slot_mapping == PAD (zeroed KV).
+            t += -(-n // bs) * bs
 
         return dict(
             token_ids=token_ids,

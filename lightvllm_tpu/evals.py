@@ -61,7 +61,8 @@ def _window_nll(
         seeds=jnp.full((1,), -1, jnp.int32),
     )
     h, _ = qwen3.hidden_states_prefill(
-        params, spec, token_ids, meta, cache, block_size, attn_impl=attn_impl
+        params, spec, token_ids, meta, cache, block_size, attn_impl=attn_impl,
+        page_aligned_kv=(T % block_size == 0),  # slot_mapping is arange(T)
     )  # (T, E)
 
     targets = jnp.roll(token_ids, -1)  # target[i] = token[i+1]

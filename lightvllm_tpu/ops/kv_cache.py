@@ -200,6 +200,68 @@ def _quantize_rows(x: jnp.ndarray, row_scale: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
 
 
+def write_kv_pages(
+    cache: KVCache,
+    layer: int,
+    k_new: jnp.ndarray,  # (T, Hkv, D), T % block_size == 0, PAGE-ALIGNED rows
+    v_new: jnp.ndarray,
+    slot_mapping: jnp.ndarray,  # (T,); row r*BSZ starts page r's slots
+) -> KVCache:
+    """Whole-page KV write for page-aligned token streams (prefill).
+
+    XLA lowers a row scatter to a SERIAL per-row loop (~2 us/row/layer on
+    v5e): per-token writes made an 8K-token prefill ~95% scatter time
+    (measured 487 ms p50 TTFT at b8x1024 — the serial loop, not the MXU,
+    was the bill). prepare_prefill pads every sequence's uncached region to
+    a block multiple (regions already START on block boundaries — prefix
+    hits are whole blocks), so the flat stream reshapes directly into
+    pages and the scatter runs over T/BSZ whole-page rows: 64x fewer
+    serial iterations. Padding rows inside a partial page are zeroed
+    (never attended: their positions are >= the sequence's context; decode
+    later overwrites them in place via the window flush)."""
+    bs = cache.block_size
+    T = k_new.shape[0]
+    P = T // bs
+    page_ids = slot_mapping[::bs] // bs  # (P,); PAD rows -> huge -> dropped
+    valid = (slot_mapping != PAD_SLOT)[:, None, None]
+
+    def to_pages(x):
+        x = jnp.where(valid, x, jnp.zeros_like(x))
+        return x.reshape(P, bs, x.shape[1], x.shape[2]).transpose(0, 2, 1, 3)
+
+    kp = to_pages(k_new)  # (P, Hkv, BSZ, D)
+    vp = to_pages(v_new)
+    k = list(cache.k)
+    v = list(cache.v)
+    if cache.is_int8:
+        def quant(x):
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2)  # (P,Hkv,D)
+            sc = amax * (KV_INT8_MARGIN / 127.0)
+            qd = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / jnp.maximum(sc[:, :, None], 1e-20)),
+                -127,
+                127,
+            ).astype(jnp.int8)
+            return qd, sc
+
+        kq, ksc = quant(kp)
+        vq, vsc = quant(vp)
+        scale = list(cache.scale)
+        scale[layer] = scale[layer].at[page_ids].set(
+            jnp.stack([ksc, vsc], axis=1), mode="drop"
+        )
+        k[layer] = k[layer].at[page_ids].set(kq, mode="drop")
+        v[layer] = v[layer].at[page_ids].set(vq, mode="drop")
+        return KVCache(k=tuple(k), v=tuple(v), scale=tuple(scale))
+    k[layer] = k[layer].at[page_ids].set(
+        to_kv_dtype(kp, k[layer].dtype), mode="drop"
+    )
+    v[layer] = v[layer].at[page_ids].set(
+        to_kv_dtype(vp, v[layer].dtype), mode="drop"
+    )
+    return KVCache(k=tuple(k), v=tuple(v), scale=cache.scale)
+
+
 def write_kv_layer(
     cache: KVCache,
     layer: int,  # static layer index (unrolled layer loop)

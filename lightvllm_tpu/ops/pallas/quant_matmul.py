@@ -114,7 +114,7 @@ def quant_matmul_pallas(
 
     if tile_o:
         TO = tile_o
-    elif Tp <= 64 and Tp * out * 4 <= 8 * 2**20:
+    elif Tp <= 128 and Tp * out * 4 <= 8 * 2**20:
         # Decode mode: accumulate the whole output row block in VMEM so the
         # x tile is read exactly once (kills the +24% re-read tax).
         TO = out
