@@ -96,9 +96,11 @@ class BlockManager:
         self.used_block_ids.remove(block_id)
         self.free_block_ids.append(block_id)
 
-    def can_allocate(self, seq: Sequence) -> bool:
-        # Conservative: ignores potential prefix-cache hits.
-        return len(self.free_block_ids) >= seq.num_blocks
+    def can_allocate(self, seq: Sequence, spare: int = 0) -> bool:
+        # Conservative: ignores potential prefix-cache hits. `spare` is the
+        # scheduler's admission watermark (blocks to leave free for running
+        # sequences' decode growth).
+        return len(self.free_block_ids) >= seq.num_blocks + spare
 
     def allocate(self, seq: Sequence) -> None:
         """Allocate blocks for a prompt, reusing prefix-cached blocks.

@@ -82,7 +82,15 @@ class DataParallelScheduler:
         """
         admitting = [
             g for g in self.groups
-            if g.waiting and g.block_manager.can_allocate(g.waiting[0])
+            if g.waiting
+            and g.block_manager.can_allocate(
+                g.waiting[0],
+                spare=(
+                    max(g.block_manager.num_blocks // 100, len(g.running) + 1)
+                    if g.running
+                    else 0
+                ),
+            )
         ]
         if admitting:
             out: list[list[Sequence]] = []

@@ -64,12 +64,23 @@ class Scheduler:
         num_batched_tokens = 0
 
         # Phase 1: prefill admission (strictly preempts decode scheduling).
+        # Watermark: keep ~1% of the pool (>= 1 block/running seq's next
+        # append) free past the prompt's own needs, so admission cannot
+        # drive the decode phase straight into window-shrink + recompute-
+        # preemption thrash (measured collapse: b64 x 1024-token prompts in
+        # an exactly-sized pool fell to 76 tok/s). The reference admits to
+        # the last block (scheduler.py:72-90) and thrashes the same way.
+        watermark = (
+            max(self.block_manager.num_blocks // 100, len(self.running) + 1)
+            if self.running
+            else 0  # empty engine: nothing to protect, admit to the brim
+        )
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
             # Count only uncached tokens against the batch-token budget; a
             # prefix-cache hit makes admission cheaper (reference
             # scheduler.py:82). can_allocate is conservative (pre-hit).
-            if not self.block_manager.can_allocate(seq):
+            if not self.block_manager.can_allocate(seq, spare=watermark):
                 break
             self.block_manager.allocate(seq)
             new_tokens = len(seq) - seq.num_cached_tokens

@@ -31,6 +31,8 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", 10))
     kv_mode = os.environ.get("BENCH_KV_MODE", "staged")
     hbm = float(os.environ.get("BENCH_HBM", 0.9))
+    prompt = int(os.environ.get("BENCH_PROMPT", 128))
+    kv = os.environ.get("BENCH_KV", "auto")
 
     spec = qwen3.ModelSpec(
         num_layers=28, hidden_size=1024, num_q_heads=16, num_kv_heads=8,
@@ -42,17 +44,21 @@ def main() -> None:
     config = Config(
         decode_window=window, max_num_seqs=batch, max_model_len=2048,
         max_num_batched_tokens=max(4096, batch * 128), kvcache_block_size=64,
-        num_kvcache_blocks=-1, decode_kv_mode=kv_mode,
+        num_kvcache_blocks=-1, decode_kv_mode=kv_mode, kv_cache_dtype=kv,
         hbm_memory_utilization=hbm, eos=-1, warmup_shapes=False,
         kv_size_probe=False,
     )
     runner = ModelRunner(config, spec, params)
-    print(f"pool: {runner.num_blocks} blocks "
-          f"({runner.num_blocks * 7.34:.0f} MB), mode={kv_mode}", flush=True)
+    print(f"pool: {runner.num_blocks} blocks, mode={kv_mode} kv={kv} "
+          f"prompt={prompt}", flush=True)
+    dev = jax.devices()[0]
+    st = dev.memory_stats() if hasattr(dev, "memory_stats") else {}
+    print(f"hbm: limit={st.get('bytes_limit', 0)/2**30:.2f} GiB "
+          f"in_use={st.get('bytes_in_use', 0)/2**30:.2f} GiB", flush=True)
     sched = Scheduler(config)
     rng = np.random.default_rng(0)
     for _ in range(batch):
-        toks = rng.integers(1, spec.vocab_size, size=128).tolist()
+        toks = rng.integers(1, spec.vocab_size, size=prompt).tolist()
         sched.add(Sequence(toks, SamplingParams(
             temperature=0.0, max_tokens=(steps + 6) * window,
             ignore_eos=True), block_size=64))
@@ -69,7 +75,9 @@ def main() -> None:
         kind = "prefill" if is_prefill else f"decode w={w}"
         print(f"[{i:3d}] {kind:12s} B={len(seqs):4d} wall={dt*1e3:8.1f} ms "
               f"prep={st['prep_time_s']*1e3:6.1f} ms "
-              f"per_step={dt/ (1 if is_prefill else w) * 1e3:7.2f} ms",
+              f"per_step={dt/ (1 if is_prefill else w) * 1e3:7.2f} ms "
+              f"free={sched.block_manager.num_free_blocks} "
+              f"preempt={sched.num_preemptions}",
               flush=True)
         i += 1
     print(f"total {time.perf_counter()-t_all:.1f}s", flush=True)
