@@ -475,6 +475,17 @@ class ModelRunner:
             per_block //= self.mesh.shape["model"]
         dev = jax.devices()[0]
         stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
+        if not (stats and "bytes_limit" in stats) and dev.platform != "cpu":
+            # Some PJRT transports (e.g. the axon tunnel) return no memory
+            # stats. Reconstruct: device HBM (env LV_HBM_BYTES overrides the
+            # v5e/v5p-class 16 GiB default) minus the weights actually held.
+            import os
+
+            limit = int(os.environ.get("LV_HBM_BYTES", 16 * 2**30))
+            param_bytes = sum(
+                x.nbytes for x in jax.tree.leaves(self.params)
+            )
+            stats = {"bytes_limit": limit, "bytes_in_use": param_bytes}
         if stats and "bytes_limit" in stats:
             free = stats["bytes_limit"] * cfg.hbm_memory_utilization - stats.get(
                 "bytes_in_use", 0

@@ -52,7 +52,7 @@ def main() -> None:
     print(f"pool: {runner.num_blocks} blocks, mode={kv_mode} kv={kv} "
           f"prompt={prompt}", flush=True)
     dev = jax.devices()[0]
-    st = dev.memory_stats() if hasattr(dev, "memory_stats") else {}
+    st = (dev.memory_stats() if hasattr(dev, "memory_stats") else None) or {}
     print(f"hbm: limit={st.get('bytes_limit', 0)/2**30:.2f} GiB "
           f"in_use={st.get('bytes_in_use', 0)/2**30:.2f} GiB", flush=True)
     sched = Scheduler(config)
