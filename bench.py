@@ -28,12 +28,12 @@ def main():
     from lightvllm_tpu.models import qwen3
     from lightvllm_tpu.sampling_params import SamplingParams
 
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     prompt_len = int(os.environ.get("BENCH_PROMPT", 128))
-    decode_steps = int(os.environ.get("BENCH_STEPS", 64))
+    decode_steps = int(os.environ.get("BENCH_STEPS", 24))
     quant = os.environ.get("BENCH_QUANT") or None  # int8 | int4
-    kv = os.environ.get("BENCH_KV", "auto")  # auto | fp8
-    window = cfg_window = int(os.environ.get("BENCH_WINDOW", 16))
+    kv = os.environ.get("BENCH_KV", "auto")  # auto | fp8 | int8
+    window = cfg_window = int(os.environ.get("BENCH_WINDOW", 32))
     model = os.environ.get("BENCH_MODEL", "0.6b")  # 0.6b | 1.7b | 4b | 8b
     kv_mode = os.environ.get("BENCH_KV_MODE", "staged")  # staged | scatter
     hbm_util = float(os.environ.get("BENCH_HBM", 0.9))

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Isolated decode-attention kernel timing: bf16 vs int8 KV pages.
+
+Slope method (see tools/profile_quant.py): run the kernel N1 and N2 times
+inside one jitted fori_loop with a serializing dependence; the time
+difference divided by (N2-N1) cancels tunnel dispatch latency.
+
+  python tools/profile_attn.py [--batch 64] [--ctx 1100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N1, N2, TRIALS = 8, 72, 3
+
+
+def timeit(fn, *args):
+    import functools
+
+    def loop(n_static, q, *rest):
+        def body(i, carry):
+            q = carry
+            o = fn(q + 0.0 * i, *rest)  # serialize via q dependence
+            return q + 0.0 * o.astype(q.dtype).sum()
+
+        return jax.lax.fori_loop(0, n_static, body, q)
+
+    # All arrays travel as jit ARGUMENTS (closure constants would be baked
+    # into the compile payload — 100+ MB of pages breaks the tunnel).
+    l1 = jax.jit(functools.partial(loop, N1))
+    l2 = jax.jit(functools.partial(loop, N2))
+    np.asarray(l1(*args).sum())  # compile + warm
+    np.asarray(l2(*args).sum())
+    best = 1e9
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        np.asarray(l1(*args).sum())
+        t1 = time.perf_counter()
+        np.asarray(l2(*args).sum())
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (N2 - N1))
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--ctx", type=int, default=1100)
+    args = ap.parse_args()
+
+    from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
+
+    B, Hq, Hkv, D, BSZ = args.batch, 16, 8, 128, 64
+    NB = -(-args.ctx // BSZ) + 1
+    NBtot = B * NB
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.bfloat16)
+    tables = jnp.asarray(np.arange(NBtot, dtype=np.int32).reshape(B, NB))
+    ctx = jnp.full((B,), args.ctx, jnp.int32)
+    scale = D**-0.5
+
+    kp = jnp.asarray(rng.standard_normal((NBtot, Hkv, BSZ, D)), jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((NBtot, Hkv, BSZ, D)), jnp.bfloat16)
+    t_bf16 = timeit(
+        lambda q_, kp_, vp_: paged_flash_decode(
+            q_, kp_, vp_, tables, ctx, block_size=BSZ, scale=scale
+        ),
+        q, kp, vp,
+    )
+    kv_bytes = 2 * B * args.ctx * Hkv * D * 2
+    print(
+        f"bf16:  {t_bf16*1e6:8.1f} us  ({kv_bytes/t_bf16/1e9:6.1f} GB/s eff)",
+        flush=True,
+    )
+
+    kp8 = jnp.asarray(rng.integers(-127, 127, (NBtot, Hkv, BSZ, D)), jnp.int8)
+    vp8 = jnp.asarray(rng.integers(-127, 127, (NBtot, Hkv, BSZ, D)), jnp.int8)
+    sc = jnp.asarray(
+        rng.standard_normal((NBtot, 2, Hkv, D)) * 0.01 + 0.02, jnp.float32
+    )
+    t_int8 = timeit(
+        lambda q_, kp_, vp_, sc_: paged_flash_decode(
+            q_, kp_, vp_, tables, ctx, kv_scale=sc_, block_size=BSZ,
+            scale=scale,
+        ),
+        q, kp8, vp8, sc,
+    )
+    kv_bytes8 = kv_bytes // 2 + 2 * B * NB * Hkv * D * 4
+    print(
+        f"int8:  {t_int8*1e6:8.1f} us  ({kv_bytes8/t_int8/1e9:6.1f} GB/s eff) "
+        f"speedup {t_bf16/t_int8:.2f}x",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
