@@ -17,7 +17,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True)
     ap.add_argument("--quant", choices=["int8", "int4"], default=None)
-    ap.add_argument("--kv", choices=["auto", "fp8"], default="auto")
+    ap.add_argument("--kv", choices=["auto", "fp8", "int8"], default="auto")
     ap.add_argument("--max-tokens", type=int, default=128)
     ap.add_argument("--temperature", type=float, default=0.6)
     ap.add_argument("--decode-window", type=int, default=8)

@@ -27,12 +27,20 @@ class Config:
     quantization: str | None = None  # None | "int8" | "int4"
     quant_group_size: int = 128  # group size along in_features for int4
     quantized_checkpoint: str = ""  # .npz from tools/quantize_checkpoint.py
-    kv_cache_dtype: str = "auto"  # "auto" (= model dtype) | "fp8"
+    kv_cache_dtype: str = "auto"  # "auto" (= model dtype) | "fp8" | "int8"
+    # Quantize the LM head / tied-head contraction to int8 when weight
+    # quantization is on: decode streams the full (E, V) head every step
+    # (1.2 GB/step at 8B bf16) while int8 is ppl-neutral (QUALITY.md).
+    quantize_lm_head: bool = True
     # --- parallelism ---
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
     # --- compilation ---
     enforce_eager: bool = False  # True disables jit (debugging only)
+    # Fuse q/k/v and gate/up into single projection matmuls at runner init
+    # (reference QKVParallelLinear / MergedColumnParallelLinear semantics;
+    # kills per-invocation quant-matmul overhead on decode).
+    fuse_projections: bool = True
     decode_window: int = 8  # decode steps fused per device dispatch
     # KV write strategy for decode: "staged" buffers the window's K/V in a
     # dense staging buffer (vectorized writes + one per-window Pallas flush);

@@ -80,18 +80,9 @@ class DataParallelScheduler:
         them). Decode windows are the min over active groups so every
         group's fused scan stays in lockstep in the single dispatch.
         """
-        admitting = [
-            g for g in self.groups
-            if g.waiting
-            and g.block_manager.can_allocate(
-                g.waiting[0],
-                spare=(
-                    max(g.block_manager.num_blocks // 100, len(g.running) + 1)
-                    if g.running
-                    else 0
-                ),
-            )
-        ]
+        # Single shared predicate (Scheduler.can_admit) so the phase vote
+        # cannot diverge from what each group's schedule() then does.
+        admitting = [g for g in self.groups if g.can_admit()]
         if admitting:
             out: list[list[Sequence]] = []
             for g in self.groups:

@@ -40,6 +40,39 @@ from lightvllm_tpu.utils.metadata import DecodeMeta, PrefillMeta
 PAD_SLOT_NP = np.iinfo(np.int32).max
 
 
+def _sample_mode(seqs) -> str:
+    """Trace-time sampler variant for a batch (each mode is its own
+    compiled executable):
+      "none" — temperature/greedy only (no filtering, no per-row PRNG)
+      "topk" — top-k only, every k <= TOP_K_FAST_CAP: O(V) lax.top_k
+               threshold filter, no (B, V) argsort
+      "full" — top-p present (or top-k beyond the cap): argsort path
+    """
+    from lightvllm_tpu.ops.sampling import TOP_K_FAST_CAP
+
+    if not any(
+        s.top_k > 0 or s.top_p < 1.0 or s.seed is not None for s in seqs
+    ):
+        return "none"
+    if all(
+        s.top_p >= 1.0 and s.top_k <= TOP_K_FAST_CAP for s in seqs
+    ):
+        return "topk"
+    return "full"
+
+
+def _sample_kwargs(meta, extended: str, positions):
+    """kwargs for ops.sampling.sample under the given trace-time mode."""
+    if not extended or extended == "none":
+        return {}
+    return dict(
+        top_ks=meta.top_ks,
+        top_ps=meta.top_ps if extended == "full" else None,
+        seeds=meta.seeds,
+        positions=positions,
+    )
+
+
 def bucket(n: int, minimum: int = 8, cap: int | None = None) -> int:
     b = minimum
     while b < n:
@@ -85,6 +118,42 @@ class ModelRunner:
             self.mesh = make_mesh(
                 config.tensor_parallel_size, config.data_parallel_size
             )
+        # Quantize the LM-head contraction to int8 whenever the projection
+        # weights are quantized (int8 is ppl-neutral, QUALITY.md): decode
+        # streams the whole (E, V) head every step — 1.2 GB/step at 8B
+        # bf16, the other half of the r2 decode residual. Tied models get a
+        # dedicated int8 copy (embed stays bf16 for the gather; the copy
+        # costs V*E bytes of HBM and halves the per-step head traffic).
+        if config.quantize_lm_head:
+            from lightvllm_tpu.ops.quantization import (
+                QuantizedTensor,
+                quantize_weight,
+            )
+
+            _has_qt = any(
+                isinstance(v, QuantizedTensor)
+                for v in params["layers"].values()
+            )
+            _head = params.get("lm_head")
+            if _has_qt and not isinstance(_head, QuantizedTensor):
+                if _head is None and spec.tie_word_embeddings:
+                    _head = params["embed"].T
+                if _head is not None:
+                    params = {**params, "lm_head": quantize_weight(_head, 8)}
+
+        # Fuse q/k/v and gate/up into single projections (one quant-matmul
+        # invocation each instead of 3/2 — the measured 8B decode residual
+        # was per-invocation overhead). The fused out-axis layout is
+        # interleaved by the mesh "model" factor so GSPMD shards stay
+        # contiguous per shard (ModelSpec.tp_shards).
+        if config.fuse_projections:
+            import dataclasses as _dc
+
+            _S = 1 if self.mesh is None else self.mesh.shape["model"]
+            if qwen3.can_fuse_projections(spec, _S):
+                params = qwen3.fuse_projection_params(params, _S)
+                spec = _dc.replace(spec, tp_shards=_S)
+                self.spec = spec
         if self.mesh is not None:
             from lightvllm_tpu.parallel.sharding import shard_params
 
@@ -119,10 +188,7 @@ class ModelRunner:
                 logits,
                 meta.temperatures,
                 key,
-                top_ks=meta.top_ks if extended else None,
-                top_ps=meta.top_ps if extended else None,
-                seeds=meta.seeds if extended else None,
-                positions=meta.ctx_lens if extended else None,
+                **_sample_kwargs(meta, extended, meta.ctx_lens),
             )
             return tokens, cache
 
@@ -204,10 +270,7 @@ class ModelRunner:
                         logits,
                         meta.temperatures,
                         jax.random.fold_in(key, s),
-                        top_ks=meta.top_ks if extended else None,
-                        top_ps=meta.top_ps if extended else None,
-                        seeds=meta.seeds if extended else None,
-                        positions=(meta.positions + s + 1) if extended else None,
+                        **_sample_kwargs(meta, extended, meta.positions + s + 1),
                     )
                     return (nxt, staging), nxt
 
@@ -230,10 +293,7 @@ class ModelRunner:
                         logits,
                         meta.temperatures,
                         jax.random.fold_in(key, s),
-                        top_ks=meta.top_ks if extended else None,
-                        top_ps=meta.top_ps if extended else None,
-                        seeds=meta.seeds if extended else None,
-                        positions=(meta.positions + s + 1) if extended else None,
+                        **_sample_kwargs(meta, extended, meta.positions + s + 1),
                     )
                     return (nxt, cache), nxt
 
@@ -310,7 +370,7 @@ class ModelRunner:
             # inferred reduce-scatter/all-gather pairs are already good).
             import dataclasses
 
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             from lightvllm_tpu.parallel.sharding import (
@@ -330,10 +390,19 @@ class ModelRunner:
                 num_q_heads=spec.num_q_heads // tp,
                 num_kv_heads=spec.num_kv_heads // tp,
                 intermediate_size=spec.intermediate_size // tp,
+                # Each rank's fused-weight shard is a plain [q|k|v] /
+                # [gate|up] chunk (the global interleave factor == tp), so
+                # the local split uses the unfused layout.
+                tp_shards=1,
             )
             decode_local = make_decode_fn(spec_local, tp_axis="model")
             pspecs = param_specs(params)
-            cspecs = KVCache(**kv_cache_specs())
+            _cs = kv_cache_specs()
+            cspecs = KVCache(
+                k=_cs["k"],
+                v=_cs["v"],
+                scale=_cs["scale"] if self.int8_kv else None,
+            )
             sm_cache: dict = {}
             mesh = self.mesh
 
@@ -349,7 +418,7 @@ class ModelRunner:
                         mesh=mesh,
                         in_specs=(pspecs, P(), P(), cspecs, P()),
                         out_specs=(P(), cspecs),
-                        check_rep=False,
+                        check_vma=False,
                     )
                     fn = jax.jit(body, donate_argnums=(3,))
                     sm_cache[(window, extended)] = fn
@@ -387,19 +456,27 @@ class ModelRunner:
             specs = kv_cache_specs()
             if self.dp > 1:
                 specs = {f: P("data", *specs[f]) for f in specs}
+            # Place every present field — including the int8 "scale" arrays
+            # (dropping them reset cache.scale to None and crashed every
+            # int8-KV x mesh config at the first attention read).
             self.cache = KVCache(
                 **{
-                    f: jax.device_put(
-                        getattr(self.cache, f), NamedSharding(self.mesh, specs[f])
+                    f: (
+                        None
+                        if getattr(self.cache, f) is None
+                        else jax.device_put(
+                            getattr(self.cache, f),
+                            NamedSharding(self.mesh, specs[f]),
+                        )
                     )
-                    for f in ("k", "v")
+                    for f in ("k", "v", "scale")
                 }
             )
 
         if config.warmup_shapes and not config.enforce_eager:
             self.warmup_decode_shapes()
 
-    def warmup_decode_shapes(self) -> None:
+    def warmup_decode_shapes(self, force: bool = False) -> None:
         """Pre-compile every decode (batch-bucket, window) executable.
 
         Under memory pressure the scheduler shrinks the window, and as
@@ -410,8 +487,11 @@ class ModelRunner:
         results land in the persistent compilation cache. Dummy tokens write
         garbage KV into page 0, which is safe: any sequence later allocating
         a page writes every slot it reads before attending over it.
+
+        Data-parallel runners warm the same grid with group-stacked inputs
+        (leading (DP,) axis), matching run_groups' shapes exactly.
         """
-        if jax.default_backend() == "cpu" or self.dp > 1:
+        if jax.default_backend() == "cpu" and not force:
             return  # CPU tests: compile times are trivial, skip the churn
         max_b = bucket(self.config.max_num_seqs, 8)
         b_buckets = []
@@ -427,11 +507,15 @@ class ModelRunner:
         shapes = [(max_b, w) for w in windows] + [
             (b, windows[-1]) for b in b_buckets[:-1]
         ]
-        # Warm the extended (top-k/top-p/seeded) executables too: the
-        # `extended` flag is trace-time, so the first sampled request
+        # Warm the extended (top-k / top-p / seeded) executables too: the
+        # sampler mode is trace-time, so the first sampled request
         # mid-serving would otherwise recompile every live decode shape
         # (measured 3-4 s stalls per shape — VERDICT r1 weak#5).
-        variants = (False, True) if self.config.warmup_extended else (False,)
+        variants = (
+            ("none", "topk", "full")
+            if self.config.warmup_extended
+            else ("none",)
+        )
         key = jax.random.PRNGKey(0)
         for B, w in shapes:
             NB = self.config.max_blocks_per_seq
@@ -444,13 +528,21 @@ class ModelRunner:
                 top_ps=jnp.ones(B, jnp.float32),
                 seeds=jnp.full(B, -1, jnp.int32),
             )
+            tokens = jnp.zeros(B, jnp.int32)
+            step_key = key
+            if self.dp > 1:
+                meta = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (self.dp,) + x.shape), meta
+                )
+                tokens = jnp.zeros((self.dp, B), jnp.int32)
+                step_key = jax.random.split(key, self.dp)
             for extended in variants:
                 _, self.cache = self._decode(
                     self.params,
-                    jnp.zeros(B, jnp.int32),
+                    tokens,
                     meta,
                     self.cache,
-                    key,
+                    step_key,
                     w,
                     extended,
                 )
@@ -485,6 +577,10 @@ class ModelRunner:
             param_bytes = sum(
                 x.nbytes for x in jax.tree.leaves(self.params)
             )
+            if self.mesh is not None:
+                # .nbytes is the GLOBAL array size; each device holds only
+                # 1/tp of the "model"-sharded weights (replicated on "data").
+                param_bytes //= self.mesh.shape["model"]
             stats = {"bytes_limit": limit, "bytes_in_use": param_bytes}
         if stats and "bytes_limit" in stats:
             free = stats["bytes_limit"] * cfg.hbm_memory_utilization - stats.get(
@@ -516,11 +612,17 @@ class ModelRunner:
         exact for the activation term."""
         cfg = self.config
         spec = self.spec
-        if cfg.enforce_eager or self.dp > 1:
+        if cfg.enforce_eager:
             return 0
 
+        dp = self.dp
+
         def sds(shape, dtype):
-            return jax.ShapeDtypeStruct(shape, dtype)
+            # Data-parallel runners probe the group-stacked (DP, ...) shapes
+            # the vmapped step actually compiles (dp=1: plain shapes).
+            return jax.ShapeDtypeStruct(
+                (dp,) + shape if dp > 1 else shape, dtype
+            )
 
         kv_shape = (
             cfg.max_blocks_per_seq + 1,
@@ -542,8 +644,9 @@ class ModelRunner:
                 if self.int8_kv else None
             ),
         )
+        # Params are replicated across "data": no DP prefix.
         params = jax.tree.map(
-            lambda x: sds(x.shape, x.dtype), self.params
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params
         )
         key = sds((2,), jnp.uint32)
         peak = 0
@@ -581,9 +684,9 @@ class ModelRunner:
         try:
             for lowered in (
                 self._prefill.lower(params, sds((T,), jnp.int32), pmeta,
-                                    cache, key, True),
+                                    cache, key, "full"),
                 self._decode.lower(params, sds((Bd,), jnp.int32), dmeta,
-                                   cache, key, cfg.decode_window, True),
+                                   cache, key, cfg.decode_window, "full"),
             ):
                 mem = lowered.compile().memory_analysis()
                 if mem is not None:
@@ -737,10 +840,7 @@ class ModelRunner:
         t0 = time.perf_counter()
         self._key, step_key = jax.random.split(self._key)
         keys = jax.random.split(step_key, self.dp)
-        extended = any(
-            s.top_k > 0 or s.top_p < 1.0 or s.seed is not None
-            for g in groups for s in g
-        )
+        extended = _sample_mode([s for g in groups for s in g])
         if is_prefill:
             per = [self._prefill_buckets(g) for g in groups]
             T, B, Sq, NB = (max(b[i] for b in per) for i in range(4))
@@ -784,11 +884,10 @@ class ModelRunner:
             return self.run_groups(seqs, is_prefill, window)
         t0 = time.perf_counter()
         self._key, step_key = jax.random.split(self._key)
-        # Trace-time flag: batches without top-k/top-p/seeds never pay the
-        # (B, V) argsort or per-row PRNG (separate compiled executable).
-        extended = any(
-            s.top_k > 0 or s.top_p < 1.0 or s.seed is not None for s in seqs
-        )
+        # Trace-time sampler mode: batches without top-k/top-p/seeds never
+        # pay filtering or per-row PRNG, and top-k-only batches use the
+        # O(V) lax.top_k threshold path instead of the (B, V) argsort.
+        extended = _sample_mode(seqs)
         if is_prefill:
             token_ids, meta = self.prepare_prefill(seqs)
             t_prep = time.perf_counter() - t0

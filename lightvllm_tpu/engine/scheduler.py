@@ -50,6 +50,24 @@ class Scheduler:
         self.block_manager.deallocate(seq)
         self.waiting.appendleft(seq)
 
+    def admission_watermark(self) -> int:
+        """Blocks kept free past a prompt's own needs at admission: ~1% of
+        the pool (>= 1 block per running seq's next append), so admission
+        cannot drive decode into window-shrink + preemption thrash. Empty
+        engine: nothing to protect, admit to the brim."""
+        if not self.running:
+            return 0
+        return max(self.block_manager.num_blocks // 100, len(self.running) + 1)
+
+    def can_admit(self) -> bool:
+        """True when the head of waiting would be admitted by schedule()'s
+        prefill phase. The single predicate shared with
+        DataParallelScheduler's phase vote — keeping them one definition
+        means the vote can never diverge from what schedule() then does."""
+        return bool(self.waiting) and self.block_manager.can_allocate(
+            self.waiting[0], spare=self.admission_watermark()
+        )
+
     def schedule(self) -> tuple[list[Sequence], bool, int]:
         """Returns (scheduled sequences, is_prefill, window).
 
@@ -64,17 +82,12 @@ class Scheduler:
         num_batched_tokens = 0
 
         # Phase 1: prefill admission (strictly preempts decode scheduling).
-        # Watermark: keep ~1% of the pool (>= 1 block/running seq's next
-        # append) free past the prompt's own needs, so admission cannot
-        # drive the decode phase straight into window-shrink + recompute-
-        # preemption thrash (measured collapse: b64 x 1024-token prompts in
-        # an exactly-sized pool fell to 76 tok/s). The reference admits to
-        # the last block (scheduler.py:72-90) and thrashes the same way.
-        watermark = (
-            max(self.block_manager.num_blocks // 100, len(self.running) + 1)
-            if self.running
-            else 0  # empty engine: nothing to protect, admit to the brim
-        )
+        # The watermark guards the decode phase against admission-driven
+        # window-shrink + recompute-preemption thrash (measured collapse:
+        # b64 x 1024-token prompts in an exactly-sized pool fell to
+        # 76 tok/s). The reference admits to the last block
+        # (scheduler.py:72-90) and thrashes the same way.
+        watermark = self.admission_watermark()
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
             # Count only uncached tokens against the batch-token budget; a
@@ -159,6 +172,7 @@ class Scheduler:
         if token_ids and not isinstance(token_ids[0], (list, tuple)):
             token_ids = [token_ids]
         appended = 0
+        any_finished = False
         for step_tokens in token_ids:
             for seq, token_id in zip(seqs, step_tokens):
                 if seq.is_finished:
@@ -171,5 +185,9 @@ class Scheduler:
                 if hit_stop or seq.num_completion_tokens >= seq.max_tokens:
                     seq.status = SequenceStatus.FINISHED
                     self.block_manager.deallocate(seq)
-                    self.running.remove(seq)
+                    any_finished = True
+        if any_finished:
+            # One O(n) filter pass instead of deque.remove() per finished
+            # sequence (O(n) each — O(n^2) when a large batch drains at once).
+            self.running = deque(s for s in self.running if not s.is_finished)
         return appended

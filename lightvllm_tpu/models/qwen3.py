@@ -58,10 +58,18 @@ class ModelSpec:
     qkv_bias: bool = False
     # Normalized rope_scaling (hashable tuple from ops.rope); None = vanilla
     # RoPE. Unsupported HF schemes are rejected at from_hf_config — the
-    # reference asserts them away (rotary_embedding.py:158); silently
+    # reference asserts them away (rotary_embedding.158); silently
     # ignoring them would produce wrong numerics on Llama-3.x/YaRN
     # checkpoints.
     rope_scaling: tuple | None = None
+    # Layout factor of the FUSED projections (wqkv / w_gate_up), when
+    # present: the fused out axis is the concatenation over shards s of
+    # [q_s | k_s | v_s] (resp. [gate_s | up_s]), so a "model"-axis GSPMD
+    # shard of the fused weight holds exactly its own q/k/v (gate/up)
+    # columns and the split in layer_fn is layout-preserving (no
+    # cross-shard slices -> no resharding collectives). 1 = plain
+    # [q | k | v] concat (single chip / unfused).
+    tp_shards: int = 1
 
     @property
     def jnp_dtype(self):
@@ -153,6 +161,78 @@ def init_params(
     return params
 
 
+def can_fuse_projections(spec: ModelSpec, tp_shards: int) -> bool:
+    """Fusion needs every fused out axis to split evenly into the
+    shard-interleaved layout (real checkpoints always do; guards tiny test
+    specs and exotic head counts)."""
+    return (
+        spec.num_q_heads * spec.head_dim % tp_shards == 0
+        and spec.num_kv_heads * spec.head_dim % tp_shards == 0
+        and spec.intermediate_size % tp_shards == 0
+    )
+
+
+def fuse_projection_params(params: dict, tp_shards: int = 1) -> dict:
+    """Fuse separate q/k/v (and gate/up) weights into single wqkv /
+    w_gate_up tensors with the shard-interleaved out-axis layout described
+    on ModelSpec.tp_shards (reference analog: QKVParallelLinear /
+    MergedColumnParallelLinear, lightvllm/layers/linear.py:240,193 — there a
+    load-time weight packing, here a runner-init pytree transform so
+    loaders, offline checkpoints and tests keep the simple per-tensor
+    format).
+
+    Exact for QuantizedTensor leaves: scales are per-(group, out-channel),
+    so out-axis column permutation/concat moves each column's scale with it.
+    """
+    ly = params["layers"]
+    if ly.get("wqkv") is not None or ly.get("wq") is None:
+        return params  # already fused / not a standard layer dict
+
+    from lightvllm_tpu.ops.quantization import QuantizedTensor
+
+    def interleave(ws: list):
+        """Concat along the out (last) axis, shard-interleaved: the result's
+        columns are [w0_s | w1_s | ...] for each shard s in order."""
+        first = ws[0]
+        if tp_shards == 1:
+            cat = lambda get: jnp.concatenate([get(w) for w in ws], axis=-1)
+        else:
+            def cat(get):
+                parts = []
+                for s in range(tp_shards):
+                    for w in ws:
+                        a = get(w)
+                        o = a.shape[-1] // tp_shards
+                        parts.append(a[..., s * o : (s + 1) * o])
+                return jnp.concatenate(parts, axis=-1)
+        if isinstance(first, QuantizedTensor):
+            assert all(
+                isinstance(w, QuantizedTensor)
+                and w.bits == first.bits
+                and w.data.shape[:-1] == first.data.shape[:-1]
+                for w in ws
+            ), "fused projections need identical quant group structure"
+            return QuantizedTensor(
+                data=cat(lambda w: w.data),
+                scale=cat(lambda w: w.scale),
+                bits=first.bits,
+            )
+        return cat(lambda w: w)
+
+    new_ly = dict(ly)
+    new_ly["wqkv"] = interleave([ly["wq"], ly["wk"], ly["wv"]])
+    for k_ in ("wq", "wk", "wv"):
+        del new_ly[k_]
+    if ly.get("bq") is not None:
+        new_ly["bqkv"] = interleave([ly["bq"], ly["bk"], ly["bv"]])
+    for k_ in ("bq", "bk", "bv"):
+        new_ly.pop(k_, None)
+    new_ly["w_gate_up"] = interleave([ly["w_gate"], ly["w_up"]])
+    for k_ in ("w_gate", "w_up"):
+        del new_ly[k_]
+    return {**params, "layers": new_ly}
+
+
 def _decoder_stack(
     params: dict,
     spec: ModelSpec,
@@ -193,19 +273,37 @@ def _decoder_stack(
         def write_fn(state, layer_idx, k, v):
             return write_kv_layer(state, layer_idx, k, v, slot_mapping)
 
+    S = spec.tp_shards
+    qd_s, kvd_s, i_s = Hq * D // S, Hkv * D // S, spec.intermediate_size // S
+
     def layer_fn(h, cache, lp, layer_idx):
         # --- attention block ---
         normed = rms_norm(h, lp["input_ln"], spec.rms_eps)
-        q = matmul(normed, lp["wq"])
-        k = matmul(normed, lp["wk"])
-        v = matmul(normed, lp["wv"])
-        if spec.qkv_bias:
-            q = q + lp["bq"]
-            k = k + lp["bk"]
-            v = v + lp["bv"]
-        q = q.reshape(T, Hq, D)
-        k = k.reshape(T, Hkv, D)
-        v = v.reshape(T, Hkv, D)
+        if lp.get("wqkv") is not None:
+            # Fused projection (reference QKVParallelLinear, linear.py:240):
+            # ONE quant-matmul invocation instead of three — the 8B decode
+            # residual was per-invocation overhead, not bytes. The fused out
+            # axis is shard-interleaved (see ModelSpec.tp_shards); the
+            # reshape splits the sharded axis by the mesh factor first, so
+            # every slice below lands on an unsharded axis.
+            qkv = matmul(normed, lp["wqkv"])
+            if spec.qkv_bias:
+                qkv = qkv + lp["bqkv"]
+            r = qkv.reshape(T, S, qd_s + 2 * kvd_s)
+            q = r[:, :, :qd_s].reshape(T, Hq, D)
+            k = r[:, :, qd_s : qd_s + kvd_s].reshape(T, Hkv, D)
+            v = r[:, :, qd_s + kvd_s :].reshape(T, Hkv, D)
+        else:
+            q = matmul(normed, lp["wq"])
+            k = matmul(normed, lp["wk"])
+            v = matmul(normed, lp["wv"])
+            if spec.qkv_bias:
+                q = q + lp["bq"]
+                k = k + lp["bk"]
+                v = v + lp["bv"]
+            q = q.reshape(T, Hq, D)
+            k = k.reshape(T, Hkv, D)
+            v = v.reshape(T, Hkv, D)
         if spec.qk_norm:
             q = rms_norm(q, lp["q_norm"], spec.rms_eps)
             k = rms_norm(k, lp["k_norm"], spec.rms_eps)
@@ -215,8 +313,16 @@ def _decoder_stack(
         o = reduce_fn(matmul(attn.reshape(T, Hq * D), lp["wo"]))
         # --- MLP block (fused add+norm, reference layernorm.py:52-80) ---
         normed2, h = add_rms_norm(o, h, lp["post_ln"], spec.rms_eps)
-        gate = matmul(normed2, lp["w_gate"])
-        up = matmul(normed2, lp["w_up"])
+        if lp.get("w_gate_up") is not None:
+            # Fused gate/up (reference MergedColumnParallelLinear,
+            # linear.py:193), same shard-interleaved layout as wqkv.
+            gu = matmul(normed2, lp["w_gate_up"])
+            r2 = gu.reshape(T, S, 2 * i_s)
+            gate = r2[:, :, :i_s].reshape(T, spec.intermediate_size)
+            up = r2[:, :, i_s:].reshape(T, spec.intermediate_size)
+        else:
+            gate = matmul(normed2, lp["w_gate"])
+            up = matmul(normed2, lp["w_up"])
         mlp = reduce_fn(matmul(swiglu(gate, up), lp["w_down"]))
         h = h + mlp
         return h, cache

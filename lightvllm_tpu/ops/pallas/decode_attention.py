@@ -127,6 +127,11 @@ def _decode_kernel(
         init_ref[0] = 0
         k_buf[...] = jnp.zeros_like(k_buf)
         v_buf[...] = jnp.zeros_like(v_buf)
+        if has_scale:
+            # Straggler-page scale DMAs are npages-gated like k/v, so a
+            # never-written sc_buf slot would hold garbage — and NaN garbage
+            # survives the masked softmax (0 * NaN = NaN in the p@v matmul).
+            sc_buf[...] = jnp.zeros_like(sc_buf)
 
     @pl.when(chunk_valid(b, i))
     def _body():

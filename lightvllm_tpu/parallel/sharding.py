@@ -58,32 +58,56 @@ def param_specs(params: dict) -> dict:
         "wq": lambda v: _qspec(column, v),
         "wk": lambda v: _qspec(column, v),
         "wv": lambda v: _qspec(column, v),
+        # Fused projections (wqkv / w_gate_up): plain column split — the
+        # shard-interleaved out layout (ModelSpec.tp_shards) makes each
+        # contiguous "model" shard hold exactly its own q/k/v (gate/up).
+        "wqkv": lambda v: _qspec(column, v),
+        "w_gate_up": lambda v: _qspec(column, v),
         "q_norm": lambda v: P(None, None),
         "k_norm": lambda v: P(None, None),
         "bq": lambda v: P(None, "model"),
         "bk": lambda v: P(None, "model"),
         "bv": lambda v: P(None, "model"),
+        "bqkv": lambda v: P(None, "model"),
         "wo": lambda v: _qspec(row, v),
         "post_ln": lambda v: P(None, None),
         "w_gate": lambda v: _qspec(column, v),
         "w_up": lambda v: _qspec(column, v),
         "w_down": lambda v: _qspec(row, v),
     }
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        head_spec = None
+    elif isinstance(lm_head, QuantizedTensor):
+        # Unstacked (groups, gs, V) data / (groups, 1, V) scale: vocab (the
+        # out axis) on "model", scales replicated along group axes.
+        head_spec = QuantizedTensor(
+            data=P(None, None, "model"),
+            scale=P(None, None, "model"),
+            bits=lm_head.bits,
+        )
+    else:
+        head_spec = P(None, "model")
     specs = {
         "embed": P("model", None),
         "layers": {
             k: (None if v is None else per_key[k](v)) for k, v in ly.items()
         },
         "final_ln": P(None),
-        "lm_head": None if params.get("lm_head") is None else P(None, "model"),
+        "lm_head": head_spec,
     }
     return specs
 
 
 def kv_cache_specs() -> dict:
-    """KVCache pytree specs: per-layer (NB, Hkv, BSZ, D), heads on "model"."""
+    """KVCache pytree specs: per-layer (NB, Hkv, BSZ, D), heads on "model".
+
+    "scale" covers the int8-KV per-(page, head, channel) scale arrays,
+    per-layer (NB, 2, Hkv, D): the Hkv axis co-shards with the KV heads it
+    dequantizes (same placement as the pages themselves). Callers with a
+    scale-free cache (bf16/fp8) simply skip the entry."""
     data = P(None, "model", None, None)
-    return {"k": data, "v": data}
+    return {"k": data, "v": data, "scale": P(None, None, "model", None)}
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

@@ -31,6 +31,78 @@ def test_top_k_1_equals_greedy():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_top_k_fast_path_matches_argsort_path():
+    """top_ps=None routes the lax.top_k threshold fast path (no (B, V)
+    argsort); with tie-free random logits it must pick the same tokens as
+    the full path for every k, including disabled rows (k=0)."""
+    lg = _logits(B=6, V=256, seed=7)
+    B = lg.shape[0]
+    ks = jnp.asarray([0, 1, 2, 8, 50, 64], jnp.int32)
+    common = dict(
+        seeds=jnp.full(B, -1, jnp.int32), positions=jnp.zeros(B, jnp.int32)
+    )
+    key = jax.random.PRNGKey(5)
+    fast = sample(lg, jnp.ones(B), key, top_ks=ks, top_ps=None, **common)
+    full = sample(
+        lg, jnp.ones(B), key, top_ks=ks, top_ps=jnp.ones(B, jnp.float32),
+        **common,
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(full))
+
+
+def test_top_k_fast_path_k1_equals_greedy():
+    lg = _logits(seed=11)
+    B = lg.shape[0]
+    got = sample(
+        lg,
+        jnp.ones(B),
+        jax.random.PRNGKey(1),
+        top_ks=jnp.ones(B, jnp.int32),
+        top_ps=None,
+        seeds=jnp.full(B, -1, jnp.int32),
+        positions=jnp.zeros(B, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.argmax(lg, -1)))
+
+
+def test_engine_top_k_only_uses_fast_mode():
+    """A top-k-only workload must route the "topk" trace-time mode and
+    still produce max_tokens tokens end to end."""
+    from lightvllm_tpu import SamplingParams
+    from lightvllm_tpu.engine.llm_engine import LLMEngine
+    from lightvllm_tpu.engine.runner import _sample_mode
+    from lightvllm_tpu.models import qwen3
+
+    spec = qwen3.ModelSpec(
+        num_layers=2, hidden_size=64, num_q_heads=4, num_kv_heads=2,
+        head_dim=16, intermediate_size=128, vocab_size=128, rope_theta=1e4,
+        rms_eps=1e-6, tie_word_embeddings=True, dtype="float32",
+    )
+    params = qwen3.init_params(spec, jax.random.PRNGKey(0))
+    engine = LLMEngine(
+        spec=spec, params=params, kvcache_block_size=16,
+        num_kvcache_blocks=64, max_model_len=128, max_num_seqs=4, eos=127,
+    )
+    sp = SamplingParams(
+        temperature=0.8, top_k=5, max_tokens=5, ignore_eos=True, seed=3
+    )
+    outs = engine.generate([[1, 2, 3], [4, 5]], [sp, sp], use_tqdm=False)
+    assert all(len(o["token_ids"]) == 5 for o in outs)
+    # Mode detection: top-k only -> "topk"; add top_p -> "full".
+    from lightvllm_tpu.engine.sequence import Sequence
+
+    s1 = Sequence([1], sp, block_size=16)
+    assert _sample_mode([s1]) == "topk"
+    s2 = Sequence(
+        [1],
+        SamplingParams(temperature=0.8, top_p=0.9, max_tokens=5),
+        block_size=16,
+    )
+    assert _sample_mode([s1, s2]) == "full"
+    s3 = Sequence([1], SamplingParams(temperature=0.0), block_size=16)
+    assert _sample_mode([s3]) == "none"
+
+
 def test_tiny_top_p_equals_greedy():
     lg = _logits(seed=3)
     B = lg.shape[0]
