@@ -62,7 +62,12 @@ def main():
         tie_word_embeddings=archs["tie"],
         dtype="bfloat16",
     )
-    params = qwen3.init_params(spec, jax.random.PRNGKey(0), quantization=quant)
+    # Single-element box: ModelRunner rebinds params during lm-head
+    # quantization / projection fusion, and a lingering caller reference
+    # would keep the pre-transform weight tree alive (double HBM at 8B).
+    params_box = [
+        qwen3.init_params(spec, jax.random.PRNGKey(0), quantization=quant)
+    ]
     config = Config(
         decode_window=window,
         max_num_seqs=max(batch, 8),
@@ -82,7 +87,7 @@ def main():
         warmup_shapes=False,
         kv_size_probe=False,
     )
-    runner = ModelRunner(config, spec, params)
+    runner = ModelRunner(config, spec, params_box.pop())
     sched = Scheduler(config)
     rng = __import__("numpy").random.default_rng(0)
     for _ in range(batch):

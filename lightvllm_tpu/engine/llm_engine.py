@@ -72,8 +72,16 @@ class LLMEngine:
                 eos = eos[0]
             if eos is not None:
                 self.config.eos = eos
+        # Transfer ownership of the weight tree into the runner: it rebinds
+        # `params` during lm-head quantization / projection fusion, and a
+        # lingering reference here would keep the pre-transform tree alive
+        # through KV-cache allocation (double weight HBM at 8B). Callers
+        # passing params= explicitly keep their own reference (tests reuse
+        # trees across engines); checkpoint loads are owned solely here.
+        params_box = [params]
+        del params
         self.model_runner = ModelRunner(
-            self.config, spec, params, rng_seed=kwargs.get("rng_seed", 0)
+            self.config, spec, params_box.pop(), rng_seed=kwargs.get("rng_seed", 0)
         )
         if self.config.data_parallel_size > 1:
             from lightvllm_tpu.engine.dp_scheduler import DataParallelScheduler

@@ -131,7 +131,9 @@ class ModelRunner:
             )
 
             _has_qt = any(
-                isinstance(v, QuantizedTensor)
+                isinstance(v, tuple)
+                and len(v) > 0
+                and isinstance(v[0], QuantizedTensor)
                 for v in params["layers"].values()
             )
             _head = params.get("lm_head")

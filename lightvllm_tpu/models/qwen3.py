@@ -122,38 +122,48 @@ def init_params(
     def w(key, shape):
         return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dt)
 
-    def stacked(key, shape):
-        """Layer-stacked (L, *shape) weight, generated and (optionally)
-        quantized ONE LAYER AT A TIME so transients stay ~1 layer of f32 —
-        an 8B model's full bf16 tree would not fit HBM before quantizing."""
+    def layered(key, shape):
+        """Per-layer tuple of weights (optionally quantized), generated one
+        layer at a time so transients stay ~1 layer of f32.
+
+        PER-LAYER LEAVES, not a stacked (L, ...) array: the unrolled layer
+        loop's static slice of a stacked array is materialized by XLA as a
+        temp before each Pallas quant-matmul custom call — i.e. the whole
+        weight tree is COPIED every decode step (measured on v5e: the 8B
+        int4 decode weight stream ran at 168 GiB/s stacked vs 379 GiB/s
+        with per-layer leaves, 2.25x). Same reasoning as the per-layer KV
+        cache buffers (ops/kv_cache.py)."""
         per_layer = [w(jax.random.fold_in(key, i), shape) for i in range(L)]
         if quantization is None:
-            return jnp.stack(per_layer)
+            return tuple(per_layer)
         bits = 8 if quantization == "int8" else 4
-        qs = [quantize_weight(m, bits, group_size) for m in per_layer]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+        return tuple(quantize_weight(m, bits, group_size) for m in per_layer)
 
-    # q/k/v and gate/up are separate tensors (not packed like the
-    # reference's QKVParallelLinear / MergedColumnParallelLinear): packed
-    # layouts misalign with contiguous GSPMD shards on the "model" axis,
-    # forcing activation resharding. Same HBM traffic either way.
+    def ones(shape):
+        return tuple(jnp.ones(shape, dt) for _ in range(L))
+
+    def zeros(shape):
+        return tuple(jnp.zeros(shape, dt) for _ in range(L))
+
+    # q/k/v and gate/up are separate tensors here; the runner fuses them
+    # into wqkv / w_gate_up (fuse_projection_params) for the serving path.
     params = {
         "embed": w(next(keys), (spec.vocab_size, E)),
         "layers": {
-            "input_ln": jnp.ones((L, E), dt),
-            "wq": stacked(next(keys), (E, Hq * D)),
-            "wk": stacked(next(keys), (E, Hkv * D)),
-            "wv": stacked(next(keys), (E, Hkv * D)),
-            "q_norm": jnp.ones((L, D), dt) if spec.qk_norm else None,
-            "k_norm": jnp.ones((L, D), dt) if spec.qk_norm else None,
-            "bq": jnp.zeros((L, Hq * D), dt) if spec.qkv_bias else None,
-            "bk": jnp.zeros((L, Hkv * D), dt) if spec.qkv_bias else None,
-            "bv": jnp.zeros((L, Hkv * D), dt) if spec.qkv_bias else None,
-            "wo": stacked(next(keys), (Hq * D, E)),
-            "post_ln": jnp.ones((L, E), dt),
-            "w_gate": stacked(next(keys), (E, I)),
-            "w_up": stacked(next(keys), (E, I)),
-            "w_down": stacked(next(keys), (I, E)),
+            "input_ln": ones((E,)),
+            "wq": layered(next(keys), (E, Hq * D)),
+            "wk": layered(next(keys), (E, Hkv * D)),
+            "wv": layered(next(keys), (E, Hkv * D)),
+            "q_norm": ones((D,)) if spec.qk_norm else None,
+            "k_norm": ones((D,)) if spec.qk_norm else None,
+            "bq": zeros((Hq * D,)) if spec.qkv_bias else None,
+            "bk": zeros((Hkv * D,)) if spec.qkv_bias else None,
+            "bv": zeros((Hkv * D,)) if spec.qkv_bias else None,
+            "wo": layered(next(keys), (Hq * D, E)),
+            "post_ln": ones((E,)),
+            "w_gate": layered(next(keys), (E, I)),
+            "w_up": layered(next(keys), (E, I)),
+            "w_down": layered(next(keys), (I, E)),
         },
         "final_ln": jnp.ones((E,), dt),
         "lm_head": None if spec.tie_word_embeddings else w(next(keys), (E, spec.vocab_size)),
@@ -220,14 +230,20 @@ def fuse_projection_params(params: dict, tp_shards: int = 1) -> dict:
         return cat(lambda w: w)
 
     new_ly = dict(ly)
-    new_ly["wqkv"] = interleave([ly["wq"], ly["wk"], ly["wv"]])
+    new_ly["wqkv"] = tuple(
+        interleave(list(ws)) for ws in zip(ly["wq"], ly["wk"], ly["wv"])
+    )
     for k_ in ("wq", "wk", "wv"):
         del new_ly[k_]
     if ly.get("bq") is not None:
-        new_ly["bqkv"] = interleave([ly["bq"], ly["bk"], ly["bv"]])
+        new_ly["bqkv"] = tuple(
+            interleave(list(bs)) for bs in zip(ly["bq"], ly["bk"], ly["bv"])
+        )
     for k_ in ("bq", "bk", "bv"):
         new_ly.pop(k_, None)
-    new_ly["w_gate_up"] = interleave([ly["w_gate"], ly["w_up"]])
+    new_ly["w_gate_up"] = tuple(
+        interleave(list(ws)) for ws in zip(ly["w_gate"], ly["w_up"])
+    )
     for k_ in ("w_gate", "w_up"):
         del new_ly[k_]
     return {**params, "layers": new_ly}
@@ -327,14 +343,16 @@ def _decoder_stack(
         h = h + mlp
         return h, cache
 
-    # Unrolled Python loop over layers, NOT lax.scan: scan's dynamic slice
-    # of the stacked (L, ...) weights materializes a copy of every layer's
-    # weights per step (read + write + re-read ~= 3x the weight bytes —
-    # measured 18 ms vs the 6 ms weight-read floor at decode b32). Static
-    # slices from the unrolled loop feed the MXU directly with no copy.
+    # Unrolled Python loop over PER-LAYER weight leaves, NOT lax.scan over
+    # a stacked (L, ...) tree: scan's dynamic slices materialize a copy of
+    # every layer's weights per step (measured 18 ms vs the 6 ms
+    # weight-read floor at decode b32), and even static slices of stacked
+    # leaves are materialized as temps before Pallas custom calls (the
+    # whole weight tree copied per step — 168 vs 379 GiB/s at 8B int4).
+    # Tuple leaves hand each kernel its own whole array: nothing to copy.
     for i in range(spec.num_layers):
         lp = {
-            k_: (None if v_ is None else jax.tree.map(lambda x, i=i: x[i], v_))
+            k_: (None if v_ is None else v_[i])
             for k_, v_ in params["layers"].items()
         }
         h, cache = layer_fn(h, cache, lp, i)

@@ -25,23 +25,23 @@ from lightvllm_tpu.ops.quantization import QuantizedTensor
 
 
 def _qspec(out_spec: P, w) -> object:
-    """Spec for a (possibly quantized) stacked weight (L, in, out).
+    """Spec for one layer's (possibly quantized) weight (in, out).
 
-    QuantizedTensor leaves are (L, groups, gs, out) data and (L, groups, 1,
-    out) scale. An out-features split maps onto the last axis. An
-    in-features split maps onto the groups axis when there are multiple
-    groups (INT4; group_size stays intact per shard); for per-channel INT8
-    (groups == 1) it maps onto the group-size axis with a replicated scale —
-    the per-channel rescale commutes with the cross-shard psum.
+    QuantizedTensor leaves are (groups, gs, out) data and (groups, 1, out)
+    scale. An out-features split maps onto the last axis. An in-features
+    split maps onto the groups axis when there are multiple groups (INT4;
+    group_size stays intact per shard); for per-channel INT8 (groups == 1)
+    it maps onto the group-size axis with a replicated scale — the
+    per-channel rescale commutes with the cross-shard psum.
     """
-    l, i, o = out_spec
+    i, o = out_spec
     if isinstance(w, QuantizedTensor):
-        if i is not None and w.data.shape[1] == 1:
+        if i is not None and w.data.shape[0] == 1:
             return QuantizedTensor(
-                data=P(l, None, i, o), scale=P(l, None, None, o), bits=w.bits
+                data=P(None, i, o), scale=P(None, None, o), bits=w.bits
             )
         return QuantizedTensor(
-            data=P(l, i, None, o), scale=P(l, i, None, o), bits=w.bits
+            data=P(i, None, o), scale=P(i, None, o), bits=w.bits
         )
     return out_spec
 
@@ -51,10 +51,10 @@ def param_specs(params: dict) -> dict:
     omit q/k norms or include qkv biases; offline checkpoints drop None
     leaves entirely)."""
     ly = params["layers"]
-    column = P(None, None, "model")  # out-features split
-    row = P(None, "model", None)  # in-features split (-> psum)
+    column = P(None, "model")  # out-features split
+    row = P("model", None)  # in-features split (-> psum)
     per_key = {
-        "input_ln": lambda v: P(None, None),
+        "input_ln": lambda v: P(None),
         "wq": lambda v: _qspec(column, v),
         "wk": lambda v: _qspec(column, v),
         "wv": lambda v: _qspec(column, v),
@@ -63,14 +63,14 @@ def param_specs(params: dict) -> dict:
         # contiguous "model" shard hold exactly its own q/k/v (gate/up).
         "wqkv": lambda v: _qspec(column, v),
         "w_gate_up": lambda v: _qspec(column, v),
-        "q_norm": lambda v: P(None, None),
-        "k_norm": lambda v: P(None, None),
-        "bq": lambda v: P(None, "model"),
-        "bk": lambda v: P(None, "model"),
-        "bv": lambda v: P(None, "model"),
-        "bqkv": lambda v: P(None, "model"),
+        "q_norm": lambda v: P(None),
+        "k_norm": lambda v: P(None),
+        "bq": lambda v: P("model"),
+        "bk": lambda v: P("model"),
+        "bv": lambda v: P("model"),
+        "bqkv": lambda v: P("model"),
         "wo": lambda v: _qspec(row, v),
-        "post_ln": lambda v: P(None, None),
+        "post_ln": lambda v: P(None),
         "w_gate": lambda v: _qspec(column, v),
         "w_up": lambda v: _qspec(column, v),
         "w_down": lambda v: _qspec(row, v),
@@ -90,8 +90,11 @@ def param_specs(params: dict) -> dict:
         head_spec = P(None, "model")
     specs = {
         "embed": P("model", None),
+        # Layer values are per-layer tuples: one spec per element (the
+        # element decides array-vs-QuantizedTensor structure).
         "layers": {
-            k: (None if v is None else per_key[k](v)) for k, v in ly.items()
+            k: (None if v is None else tuple(per_key[k](el) for el in v))
+            for k, v in ly.items()
         },
         "final_ln": P(None),
         "lm_head": head_spec,

@@ -47,6 +47,11 @@ def test_roundtrip_quantized(tiny_dir, tmp_path):
         if a is None:
             assert b is None, where
             return
+        if isinstance(a, tuple):  # per-layer leaves
+            assert isinstance(b, tuple) and len(a) == len(b), where
+            for i, (ai, bi) in enumerate(zip(a, b)):
+                check(ai, bi, f"{where}[{i}]")
+            return
         if isinstance(a, QuantizedTensor):
             assert isinstance(b, QuantizedTensor) and a.bits == b.bits, where
             np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))

@@ -78,9 +78,10 @@ def test_tp8_weights_are_sharded(spec_and_params):
     spec, params = spec_and_params
     engine = make_engine(spec, params, tp=8)
     wqkv = engine.model_runner.params["layers"]["wqkv"]
-    shard_shapes = {s.data.shape for s in wqkv.addressable_shards}
-    # Fused (L, E, (Hq+2Hkv)*D) = (2, 64, 384) split 8-way on out-features.
-    assert shard_shapes == {(2, 64, 384 // 8)}
+    assert isinstance(wqkv, tuple)  # per-layer leaves
+    shard_shapes = {s.data.shape for s in wqkv[0].addressable_shards}
+    # Fused per-layer (E, (Hq+2Hkv)*D) = (64, 384) split 8-way on out.
+    assert shard_shapes == {(64, 384 // 8)}
     k0 = engine.model_runner.cache.k[0]  # per-layer page arrays
     kshapes = {s.data.shape for s in k0.addressable_shards}
     # (NB, Hkv, BSZ, D) with Hkv=8 split 8-way.

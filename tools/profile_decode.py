@@ -112,8 +112,8 @@ def main():
         vocab_size=151936, rope_theta=1e6, rms_eps=1e-6,
         tie_word_embeddings=archs["tie"], dtype="bfloat16",
     )
-    params = qwen3.init_params(spec, jax.random.PRNGKey(0),
-                               quantization=args.quant)
+    params_box = [qwen3.init_params(spec, jax.random.PRNGKey(0),
+                                    quantization=args.quant)]
     config = Config(
         decode_window=args.window, max_num_seqs=max(args.batch, 8),
         max_model_len=2048,
@@ -122,7 +122,7 @@ def main():
         kv_cache_dtype=args.kv, eos=-1, warmup_shapes=False,
         kv_size_probe=False,
     )
-    runner = ModelRunner(config, spec, params)
+    runner = ModelRunner(config, spec, params_box.pop())
     sched = Scheduler(config)
     rng = np.random.default_rng(0)
     for _ in range(args.batch):

@@ -116,7 +116,7 @@ def dense_forward(params, spec, tokens, positions):
     causal = jnp.tril(jnp.ones((S, S), bool))
     lp_all = params["layers"]
     for l in range(spec.num_layers):
-        lp = jax.tree.map(lambda x: x[l] if x is not None else None, lp_all)
+        lp = {k: (None if v is None else v[l]) for k, v in lp_all.items()}
         normed = rms_norm(h, lp["input_ln"], spec.rms_eps)
         q = (normed @ lp["wq"]).reshape(B, S, Hq, D)
         k = (normed @ lp["wk"]).reshape(B, S, Hkv, D)
@@ -213,12 +213,11 @@ def _quantize_stacked(params, bits: int, group_size: int = 128):
     out = {k: v for k, v in params.items()}
     lay = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        w = lay[name]  # (L, In, Out)
-        qs = [
-            quantize_weight(jnp.asarray(w[i], jnp.bfloat16), bits, group_size)
-            for i in range(w.shape[0])
-        ]
-        lay[name] = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+        # Per-layer tuple leaves (see models/qwen3.py init_params).
+        lay[name] = tuple(
+            quantize_weight(jnp.asarray(wi, jnp.bfloat16), bits, group_size)
+            for wi in lay[name]
+        )
     out["layers"] = lay
     return out
 
