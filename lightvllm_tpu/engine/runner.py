@@ -141,6 +141,16 @@ class ModelRunner:
                 if _head is None and spec.tie_word_embeddings:
                     _head = params["embed"].T
                 if _head is not None:
+                    # Pad the vocab axis to a multiple of 2048 so the fused
+                    # kernel gets a large output tile (151936 = 128 x prime
+                    # only tiles as TO=128 — measured 4x the bandwidth
+                    # floor). Padding sits at the END of the global vocab
+                    # axis (tail shard under TP), and compute_logits slices
+                    # logits back to vocab_size before sampling.
+                    V = _head.shape[1]
+                    Vp = -(-V // 2048) * 2048
+                    if Vp != V:
+                        _head = jnp.pad(_head, ((0, 0), (0, Vp - V)))
                     params = {**params, "lm_head": quantize_weight(_head, 8)}
 
         # Fuse q/k/v and gate/up into single projections (one quant-matmul

@@ -382,7 +382,12 @@ def compute_logits(
         )
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
-    return logits
+    # A quantized head may be vocab-padded for kernel tiling (runner pads
+    # to a multiple of 2048 at the END of the global vocab axis, i.e. the
+    # tail shard under TP — so slicing after the gather drops exactly the
+    # padding). No-op when unpadded. Padded columns would otherwise win
+    # the argmax with logit 0 when every real logit is negative.
+    return logits[:, : spec.vocab_size]
 
 
 def hidden_states_prefill(

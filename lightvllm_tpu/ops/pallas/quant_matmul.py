@@ -119,7 +119,18 @@ def quant_matmul_pallas(
         # x tile is read exactly once (kills the +24% re-read tax).
         TO = out
     else:
-        TO = 512 if out % 512 == 0 else (256 if out % 256 == 0 else 128)
+        # Largest divisor of `out` (multiple of the 128 lane tile) whose
+        # f32 accumulator and 1-group weight tile both fit comfortably in
+        # VMEM: bigger TO = out/TO fewer x re-reads and fewer grid steps.
+        # (The old fixed TO=128/256/512 made the 151936-vocab LM head run
+        # 1187 output tiles — measured 4x its bandwidth floor.)
+        acc_cap = (8 * 2**20) // (4 * TT)
+        w_cap = max(128, (4 * 2**20) // max(1, gsp))
+        lim = max(128, min(acc_cap, w_cap, out))
+        TO = 128
+        for d in range(128, lim + 1, 128):
+            if out % d == 0:
+                TO = d
     assert out % TO == 0 and TO % 128 == 0, f"out {out} tile {TO}"
     # Bound the weight tile to ~6 MB so double buffering fits VMEM.
     kg_cap = max(1, (6 * 2**20) // max(1, gsp * TO))

@@ -47,9 +47,10 @@ def apply_ablation(name: str):
         kv_cache.write_kv_layer = no_write
         from lightvllm_tpu.ops.pallas import kv_append
 
-        kv_append.kv_flush_pallas = (
-            lambda kp, vp, *a, **kw: (kp, vp)
-        )
+        def no_flush(kp, vp, sk, sv, start, tables, sc=None, **kw):
+            return (kp, vp) if sc is None else (kp, vp, sc)
+
+        kv_append.kv_flush_pallas = no_flush
     elif name == "attention":
         def no_attn(q, cache, layer, meta, block_size, scale, **kw):
             return q  # (B, Hq, D) passthrough keeps shape + deps
