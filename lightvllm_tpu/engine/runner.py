@@ -146,12 +146,20 @@ class ModelRunner:
                     # only tiles as TO=128 — measured 4x the bandwidth
                     # floor). Padding sits at the END of the global vocab
                     # axis (tail shard under TP), and compute_logits slices
-                    # logits back to vocab_size before sampling.
-                    V = _head.shape[1]
+                    # logits back to vocab_size before sampling. Pad the
+                    # QUANTIZED payload, not the bf16 head: padding first
+                    # doubles the transient peak by a full bf16 head copy
+                    # (2.5 GB at 8B — measured OOM at 90% HBM util).
+                    qt = quantize_weight(_head, 8)
+                    V = qt.out_features
                     Vp = -(-V // 2048) * 2048
                     if Vp != V:
-                        _head = jnp.pad(_head, ((0, 0), (0, Vp - V)))
-                    params = {**params, "lm_head": quantize_weight(_head, 8)}
+                        qt = QuantizedTensor(
+                            data=jnp.pad(qt.data, ((0, 0), (0, 0), (0, Vp - V))),
+                            scale=jnp.pad(qt.scale, ((0, 0), (0, 0), (0, Vp - V))),
+                            bits=qt.bits,
+                        )
+                    params = {**params, "lm_head": qt}
 
         # Fuse q/k/v and gate/up into single projections (one quant-matmul
         # invocation each instead of 3/2 — the measured 8B decode residual
@@ -215,22 +223,17 @@ class ModelRunner:
                 from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
 
                 k_list, v_list = list(cache.k), list(cache.v)
-                sc_list = list(cache.scale) if cache.is_int8 else None
                 for l in range(spec.num_layers):
-                    out = kv_flush_pallas(
+                    k_list[l], v_list[l] = kv_flush_pallas(
                         k_list[l], v_list[l], staging.k[l], staging.v[l],
                         start_pos, meta.block_tables,
-                        sc_list[l] if sc_list is not None else None,
+                        sc_shards=cache.sc_shards,
                         block_size=bs, window=window,
                     )
-                    if sc_list is not None:
-                        k_list[l], v_list[l], sc_list[l] = out
-                    else:
-                        k_list[l], v_list[l] = out
                 return KVCache(
                     k=tuple(k_list),
                     v=tuple(v_list),
-                    scale=tuple(sc_list) if sc_list is not None else None,
+                    sc_shards=cache.sc_shards,
                 )
             B = start_pos.shape[0]
             pos_all = start_pos[:, None] + jnp.arange(window, dtype=jnp.int32)
@@ -410,13 +413,20 @@ class ModelRunner:
             decode_local = make_decode_fn(spec_local, tp_axis="model")
             pspecs = param_specs(params)
             _cs = kv_cache_specs()
-            cspecs = KVCache(
-                k=_cs["k"],
-                v=_cs["v"],
-                scale=_cs["scale"] if self.int8_kv else None,
-            )
+            # In-page int8 scales ride the K arrays' head axis (shard-
+            # interleaved [data | scale] groups), so one spec covers them.
+            # The GLOBAL cache carries sc_shards=tp; each rank's local view
+            # is exactly one [data | scale] group, so the body rewraps the
+            # local shards with sc_shards=1 (and back, for the out treedef).
+            sc_g = tp if self.int8_kv else 0
+            cspecs = KVCache(k=_cs["k"], v=_cs["v"], sc_shards=sc_g)
             sm_cache: dict = {}
             mesh = self.mesh
+
+            def local_body(p, t, m, c, k, window, extended):
+                c = KVCache(k=c.k, v=c.v, sc_shards=min(c.sc_shards, 1))
+                toks, c = decode_local(p, t, m, c, k, window, extended)
+                return toks, KVCache(k=c.k, v=c.v, sc_shards=sc_g)
 
             def decode_dispatch(
                 params, token_ids, meta, cache, key, window, extended
@@ -424,7 +434,7 @@ class ModelRunner:
                 fn = sm_cache.get((window, extended))
                 if fn is None:
                     body = shard_map(
-                        lambda p, t, m, c, k: decode_local(
+                        lambda p, t, m, c, k: local_body(
                             p, t, m, c, k, window, extended
                         ),
                         mesh=mesh,
@@ -447,6 +457,7 @@ class ModelRunner:
         # probe, model_runner.py:182-199,216-236).
         self.num_blocks = self._size_kv_cache()
         config.num_kvcache_blocks = self.num_blocks
+        _tp = 1 if self.mesh is None else self.mesh.shape["model"]
         self.cache: KVCache = alloc_kv_cache(
             spec.num_layers,
             spec.num_kv_heads,
@@ -456,11 +467,18 @@ class ModelRunner:
             spec.jnp_dtype,
             self.fp8_kv,
             self.int8_kv,
+            # int8 in-page scale heads are laid out per TP shard so the K
+            # head-axis PartitionSpec shards into self-contained
+            # [data | scale] groups (no separate scale leaf to mis-place —
+            # the r2 scale-drop crash class is gone by construction).
+            sc_shards=_tp,
         )
         if self.dp > 1:
+            sc = self.cache.sc_shards
             self.cache = jax.tree.map(
                 lambda x: jnp.zeros((self.dp,) + x.shape, x.dtype), self.cache
             )
+            self.cache = KVCache(k=self.cache.k, v=self.cache.v, sc_shards=sc)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from lightvllm_tpu.parallel.sharding import kv_cache_specs
@@ -468,21 +486,14 @@ class ModelRunner:
             specs = kv_cache_specs()
             if self.dp > 1:
                 specs = {f: P("data", *specs[f]) for f in specs}
-            # Place every present field — including the int8 "scale" arrays
-            # (dropping them reset cache.scale to None and crashed every
-            # int8-KV x mesh config at the first attention read).
             self.cache = KVCache(
-                **{
-                    f: (
-                        None
-                        if getattr(self.cache, f) is None
-                        else jax.device_put(
-                            getattr(self.cache, f),
-                            NamedSharding(self.mesh, specs[f]),
-                        )
-                    )
-                    for f in ("k", "v", "scale")
-                }
+                k=jax.device_put(
+                    self.cache.k, NamedSharding(self.mesh, specs["k"])
+                ),
+                v=jax.device_put(
+                    self.cache.v, NamedSharding(self.mesh, specs["v"])
+                ),
+                sc_shards=self.cache.sc_shards,
             )
 
         if config.warmup_shapes and not config.enforce_eager:
@@ -573,6 +584,7 @@ class ModelRunner:
             self.spec.jnp_dtype,
             self.fp8_kv,
             self.int8_kv,
+            sc_shards=1 if self.mesh is None else self.mesh.shape["model"],
         )
         if self.mesh is not None:
             # Cache shards over KV heads: each device holds 1/tp of a block.
@@ -636,25 +648,32 @@ class ModelRunner:
                 (dp,) + shape if dp > 1 else shape, dtype
             )
 
+        from lightvllm_tpu.ops.kv_cache import num_scale_heads
+        from lightvllm_tpu.ops.quantization import FP8_DTYPE
+
+        _tp = 1 if self.mesh is None else self.mesh.shape["model"]
         kv_shape = (
             cfg.max_blocks_per_seq + 1,
             spec.num_kv_heads,
             self.block_size,
             spec.head_dim,
         )
-        from lightvllm_tpu.ops.quantization import FP8_DTYPE
-
+        k_shape = kv_shape
+        if self.int8_kv:
+            hl = spec.num_kv_heads // _tp
+            k_shape = (
+                kv_shape[0],
+                _tp * (hl + num_scale_heads(hl, self.block_size)),
+                self.block_size,
+                spec.head_dim,
+            )
         kv_dt = FP8_DTYPE if self.fp8_kv else (
             jnp.int8 if self.int8_kv else spec.jnp_dtype
         )
-        sc_shape = (kv_shape[0], 2, spec.num_kv_heads, spec.head_dim)
         cache = KVCache(
-            k=tuple(sds(kv_shape, kv_dt) for _ in range(spec.num_layers)),
+            k=tuple(sds(k_shape, kv_dt) for _ in range(spec.num_layers)),
             v=tuple(sds(kv_shape, kv_dt) for _ in range(spec.num_layers)),
-            scale=(
-                tuple(sds(sc_shape, jnp.float32) for _ in range(spec.num_layers))
-                if self.int8_kv else None
-            ),
+            sc_shards=_tp if self.int8_kv else 0,
         )
         # Params are replicated across "data": no DP prefix.
         params = jax.tree.map(

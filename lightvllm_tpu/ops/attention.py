@@ -106,7 +106,7 @@ def paged_prefill_attention_pallas(
         meta.block_tables,
         meta.ctx_lens,
         meta.cached_lens,
-        cache.scale[layer] if cache.is_int8 else None,
+        sc_shards=cache.sc_shards,
         block_size=block_size,
         scale=scale,
         interpret=interpret,
@@ -142,7 +142,7 @@ def paged_decode_attention_pallas(
         k_stage,
         v_stage,
         stage_len,
-        cache.scale[layer] if cache.is_int8 else None,
+        sc_shards=cache.sc_shards,
         block_size=block_size,
         scale=scale,
         interpret=interpret,

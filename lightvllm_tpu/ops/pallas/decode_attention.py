@@ -23,6 +23,13 @@ Design (TPU-first):
   - FP8 KV is scale-free e4m3 (see ops/kv_cache.py): pages upcast to bf16
     inside the MXU matmuls; no scale arrays, no extra DMAs — the kernel
     handles it purely through the compute dtype.
+  - INT8 KV scales ride IN-PAGE (ops/kv_cache.py module docstring): the K
+    page carries trailing scale heads, so the page DMA delivers data +
+    scales together — no third DMA stream, no scale semaphores, and a
+    zeroed page region decodes to scale 0.0 (no NaN-garbage hazard). The
+    kernel decodes the bf16 byte planes with widen/shift/int32->f32
+    bitcast on a (4*SPL, D)-sized sliver — negligible VPU work next to
+    the dequant multiply itself.
 """
 
 from __future__ import annotations
@@ -34,17 +41,40 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lightvllm_tpu.ops.kv_cache import scale_plane_rows
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _compute_dtype(page_dtype) -> jnp.dtype:
-    """bf16 for sub-bf16 (fp8) pages, else the page dtype itself."""
+    """bf16 for sub-bf16 (fp8) and int8 pages, else the page dtype."""
     return jnp.bfloat16 if jnp.dtype(page_dtype).itemsize < 2 else page_dtype
+
+
+def decode_inpage_scales(sc_heads, num_heads: int):
+    """(P, Sh, BSZ, D) int8 scale-head payload -> ((P, Hkv, D) f32 K, V).
+
+    Mosaic-native decode of ops/kv_cache.py's byte planes: widen to int32
+    (8-bit vector shifts are unsupported), recombine the two bf16 bytes
+    into the high half of an f32 bit pattern, same-width bitcast."""
+    P, Sh, BSZ, D = sc_heads.shape
+    spl = scale_plane_rows(num_heads)
+    flat = sc_heads.reshape(P, Sh * BSZ, D)
+    rows = flat[:, : 4 * spl].astype(jnp.int32)  # (P, 4*spl, D)
+
+    def plane(i):
+        return rows[:, i * spl : i * spl + num_heads]
+
+    def combine(hi, lo):
+        bits = ((hi & 0xFF) << 24) | ((lo & 0xFF) << 16)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+    return combine(plane(0), plane(1)), combine(plane(2), plane(3))
 
 
 def _chunk_copies(pages_hbm, buf, sem, tables_ref, b, chunk, buf_idx, ppcb):
     """One whole-page DMA per page in the chunk (all heads at once).
-    pages_hbm is one layer's (NBtot, Hkv, BSZ, D) page array."""
+    pages_hbm is one layer's (NBtot, H, BSZ, D) page array."""
     return [
         pltpu.make_async_copy(
             pages_hbm.at[tables_ref[b, chunk * ppcb + j]],
@@ -76,8 +106,8 @@ def _decode_kernel(
     stage_len_ref,  # (1,) int32 (number of valid staging rows; 0 = no stage)
     # inputs
     q_ref,  # (1, Hkv, Gp, D) VMEM
-    k_hbm,  # (NBtot, Hkv, BSZ, D) ANY (HBM), one layer's pages
-    v_hbm,
+    k_hbm,  # (NBtot, Hkv [+ scale heads], BSZ, D) ANY (HBM), one layer
+    v_hbm,  # (NBtot, Hkv, BSZ, D)
     # [ks_ref, vs_ref] when has_stage: (1, Hkv, W, D) VMEM staging tail
     # outputs
     # o_ref (1, Hkv, Gp, D) f32 VMEM
@@ -88,22 +118,15 @@ def _decode_kernel(
     scale: float,
     num_kv_heads: int,
     has_stage: bool,
-    has_scale: bool = False,  # int8 pages: (NBtot, 2, Hkv, D) f32 dequant
+    has_scale: bool = False,  # int8 pages with in-page scale heads
 ):
     refs = list(refs)
-    sc_hbm = refs.pop(0) if has_scale else None
     if has_stage:
         ks_ref, vs_ref = refs.pop(0), refs.pop(0)
     else:
         ks_ref = vs_ref = None
     o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem = refs[:7]
-    rest = refs[7:]
-    if has_scale:
-        sc_buf, sc_sem = rest[0], rest[1]
-        rest = rest[2:]
-    else:
-        sc_buf = sc_sem = None
-    buf_idx_ref, init_ref = rest
+    buf_idx_ref, init_ref = refs[7:]
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_b = pl.num_programs(0)
@@ -121,17 +144,13 @@ def _decode_kernel(
     # grid instance (always valid since every ctx >= 1). Page buffers are
     # zeroed too: partial-chunk page DMAs are skipped (npages gating), and
     # a never-written VMEM slot could hold NaN bit patterns that poison the
-    # masked 0 * garbage products.
+    # masked 0 * garbage products. (Zero bytes in the in-page scale region
+    # decode to scale 0.0 — the int8 path needs no extra handling.)
     @pl.when((b == 0) & (i == 0))
     def _zero_flags():
         init_ref[0] = 0
         k_buf[...] = jnp.zeros_like(k_buf)
         v_buf[...] = jnp.zeros_like(v_buf)
-        if has_scale:
-            # Straggler-page scale DMAs are npages-gated like k/v, so a
-            # never-written sc_buf slot would hold garbage — and NaN garbage
-            # survives the masked softmax (0 * NaN = NaN in the p@v matmul).
-            sc_buf[...] = jnp.zeros_like(sc_buf)
 
     @pl.when(chunk_valid(b, i))
     def _body():
@@ -156,12 +175,6 @@ def _decode_kernel(
                 _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, 0, ppcb),
                 npages_ref, b, i, ppcb,
             )
-            if has_scale:
-                _run_chunk_copies(
-                    "start",
-                    _chunk_copies(sc_hbm, sc_buf, sc_sem, tables_ref, b, i, 0, ppcb),
-                    npages_ref, b, i, ppcb,
-                )
 
         buf_idx = buf_idx_ref[0]
 
@@ -185,12 +198,6 @@ def _decode_kernel(
                 _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, next_b, next_i, nxt, ppcb),
                 npages_ref, next_b, next_i, ppcb,
             )
-            if has_scale:
-                _run_chunk_copies(
-                    "start",
-                    _chunk_copies(sc_hbm, sc_buf, sc_sem, tables_ref, next_b, next_i, nxt, ppcb),
-                    npages_ref, next_b, next_i, ppcb,
-                )
             buf_idx_ref[0] = nxt
 
         # Wait for this chunk's K pages. All heads fold into ONE matmul pair:
@@ -211,24 +218,23 @@ def _decode_kernel(
         Tbig = ppcb * Hkv * block_size
         cd = _compute_dtype(k_buf.dtype)
         q = (q_ref[0].astype(jnp.float32) * scale).reshape(HG, -1)
+        kslab = k_buf[buf_idx]  # (ppcb, Hkv [+Sh], BSZ, D)
+        if has_scale:
+            # In-page scales rode the K page DMA we just waited on.
+            sc_k, sc_v = decode_inpage_scales(kslab[:, Hkv:], Hkv)
+            kslab = kslab[:, :Hkv]
         # Cast BEFORE the sublane-merging reshape: reshaping an 8-bit (fp8)
         # array across sublane dims lowers to a slow Mosaic relayout
         # (measured ~1.9 ms/layer vs 0.3 for bf16); the elementwise cast on
         # the native page layout is cheap and the bf16 reshape is free.
-        k4 = k_buf[buf_idx].astype(cd)  # (ppcb, Hkv, BSZ, D)
+        k4 = kslab.astype(cd)  # (ppcb, Hkv, BSZ, D)
         if has_scale:
-            _run_chunk_copies(
-                "wait",
-                _chunk_copies(sc_hbm, sc_buf, sc_sem, tables_ref, b, i, buf_idx, ppcb),
-                npages_ref, b, i, ppcb,
-            )
             # int8 dequant: per-(page, head, channel) scale — a lane-
             # preserving broadcast over the BSZ sublanes, ONE bf16 VPU pass
             # (an f32 upcast-multiply-downcast chain here measurably eats
             # the bandwidth win at moderate context; bf16 scale rounding is
-            # ~2^-9 relative, far below the int8 quantization step).
-            sc_k = sc_buf[buf_idx][:, 0][:, :, None, :].astype(cd)
-            k4 = k4 * sc_k
+            # exact — the stored scale IS bf16).
+            k4 = k4 * sc_k[:, :, None, :].astype(cd)
         k = k4.reshape(Tbig, -1)  # (Tbig, D)
         s = jax.lax.dot_general(
             q.astype(cd),
@@ -260,8 +266,7 @@ def _decode_kernel(
         )
         v4 = v_buf[buf_idx].astype(cd)
         if has_scale:
-            sc_v = sc_buf[buf_idx][:, 1][:, :, None, :].astype(cd)
-            v4 = v4 * sc_v
+            v4 = v4 * sc_v[:, :, None, :].astype(cd)
         v = v4.reshape(Tbig, -1)  # (Tbig, D)
         o_cur = jax.lax.dot(
             p.astype(cd), v, preferred_element_type=jnp.float32
@@ -311,26 +316,32 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "scale", "ppcb", "interpret")
+    jax.jit,
+    static_argnames=("block_size", "scale", "ppcb", "sc_shards", "interpret"),
 )
 def paged_flash_decode(
     q: jnp.ndarray,  # (B, Hq, D)
-    k_pages: jnp.ndarray,  # (NB_total, Hkv, BSZ, D), one layer's pages
+    k_pages: jnp.ndarray,  # (NB_total, Hkv [+ scale heads], BSZ, D)
     v_pages: jnp.ndarray,  # (NB_total, Hkv, BSZ, D)
     block_tables: jnp.ndarray,  # (B, NB) int32
     ctx_lens: jnp.ndarray,  # (B,) int32 — PAGED context only (may be <= 0)
     k_stage: jnp.ndarray | None = None,  # (B, Hkv, W, D) dense staging tail
     v_stage: jnp.ndarray | None = None,
     stage_len: jnp.ndarray | None = None,  # scalar int32: valid staging rows
-    kv_scale: jnp.ndarray | None = None,  # int8 pages: (NBtot, 2, Hkv, D) f32
     *,
+    sc_shards: int = 0,  # int8 pages: in-page scale-head shard groups
     block_size: int,
     scale: float,
     ppcb: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:  # (B, Hq, D) in q.dtype
     B, Hq, D = q.shape
-    Hkv = k_pages.shape[1]
+    Hkv = v_pages.shape[1]
+    has_scale = sc_shards > 0
+    # The kernel sees the LOCAL shard view (shard_map) or a single device:
+    # one [data | scale] group. Multi-group global views only exist on the
+    # jnp oracle path (ops/kv_cache.gather_kv_for_seqs).
+    assert sc_shards in (0, 1), sc_shards
     G = Hq // Hkv
     Gp = max(G, 8)  # fp32 sublane tile
     NB = block_tables.shape[1]
@@ -356,16 +367,12 @@ def paged_flash_decode(
         stage_len = jnp.int32(0)
     stage_len = jnp.reshape(stage_len, (1,)).astype(jnp.int32)
 
-    has_scale = kv_scale is not None
     in_specs = [
         pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [qg, k_pages, v_pages]
-    if has_scale:
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        inputs.append(kv_scale)
     if has_stage:
         W = k_stage.shape[2]
         in_specs += [
@@ -377,17 +384,10 @@ def paged_flash_decode(
     scratch_shapes = [
         pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
         pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
-        pltpu.VMEM((2, ppcb, Hkv, block_size, D), k_pages.dtype),
+        pltpu.VMEM((2, ppcb, k_pages.shape[1], block_size, D), k_pages.dtype),
         pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
-    ]
-    if has_scale:
-        scratch_shapes += [
-            pltpu.VMEM((2, ppcb, 2, Hkv, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    scratch_shapes += [
         pltpu.SMEM((1,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
     ]

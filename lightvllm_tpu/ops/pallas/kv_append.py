@@ -19,6 +19,12 @@ TPU-native design (window staging):
   - Placement of staged rows at a dynamic in-page offset uses a one-hot
     permutation matmul (MXU) instead of a dynamic sublane shift, which
     Mosaic has no primitive for.
+  - INT8 KV: per-(page, head, channel) scales live IN-PAGE as trailing
+    scale heads of the K array (ops/kv_cache.py module docstring). The
+    flush RMWs the whole scale head(s) alongside the data-row windows: a
+    (re)started page (row 0 written here) gets a fresh bf16-truncated
+    scale from this window's rows x KV_INT8_MARGIN headroom; an appended
+    page reuses its decoded existing entry.
 
 Safety: a decode step's pages are exclusively owned by their sequence
 (prefix-cache sharing only ever covers FULL immutable blocks; appended /
@@ -35,6 +41,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lightvllm_tpu.ops.kv_cache import KV_INT8_MARGIN, scale_plane_rows
+from lightvllm_tpu.ops.pallas.decode_attention import decode_inpage_scales
+
+
+def _encode_scales_mosaic(sel_k, sel_v, sh: int, block_size: int):
+    """(Hl, D) f32 K/V scales -> (Sh, BSZ, D) int8 byte-plane payload,
+    with Mosaic-native ops only (f32->i32 bitcast, shifts, narrowing)."""
+    Hl, D = sel_k.shape
+    spl = scale_plane_rows(Hl)
+
+    def planes(sel):
+        bits = jax.lax.bitcast_convert_type(sel, jnp.int32)
+        hi = ((bits >> 24) & 0xFF).astype(jnp.int8)
+        lo = ((bits >> 16) & 0xFF).astype(jnp.int8)
+        if spl != Hl:
+            hi = jnp.pad(hi, ((0, spl - Hl), (0, 0)))
+            lo = jnp.pad(lo, ((0, spl - Hl), (0, 0)))
+        return hi, lo
+
+    khi, klo = planes(sel_k)
+    vhi, vlo = planes(sel_v)
+    flat = jnp.concatenate([khi, klo, vhi, vlo], axis=0)  # (4*spl, D)
+    rows = sh * block_size
+    if rows != flat.shape[0]:
+        flat = jnp.pad(flat, ((0, rows - flat.shape[0]), (0, 0)))
+    return flat.reshape(sh, block_size, D)
+
 
 def _flush_kernel(
     # scalar prefetch
@@ -43,12 +76,11 @@ def _flush_kernel(
     # inputs
     k_stage_ref,  # (1, Hkv, W, D) VMEM (this seq's staged rows)
     v_stage_ref,
-    k_pages_in,  # (NBtot, Hkv, BSZ, D) ANY, aliased to outputs
-    v_pages_in,
-    # [sc_pages_in when int8]: (NBtot, 2, Hkv, D) f32 ANY, aliased
-    # outputs (aliased): k_pages_out, v_pages_out, [sc_pages_out]
-    # scratch: k_win, v_win (MAX_SEGS, Hkv, WA, D); [sc_win (MAX_SEGS, 2,
-    #          Hkv, D) f32]; read_sems, write_sems DMA (MAX_SEGS, 2|3)
+    k_pages_in,  # (NBtot, Hkv [+ Sh scale heads], BSZ, D) ANY, aliased
+    v_pages_in,  # (NBtot, Hkv, BSZ, D) ANY, aliased
+    # outputs (aliased): k_pages_out, v_pages_out
+    # scratch: k_win, v_win (MAX_SEGS, Hkv, WA, D); [sc_win (MAX_SEGS, Sh,
+    #          BSZ, D) when int8]; read_sems, write_sems DMA (MAX_SEGS, 2|3)
     *refs,
     block_size: int,
     window: int,
@@ -56,19 +88,22 @@ def _flush_kernel(
     align: int,
     max_segs: int,
     num_blocks: int,
+    num_heads: int,  # data heads (excl. scale heads)
+    sc_heads: int = 0,  # scale heads per page (int8 mode)
     int8_kv: bool = False,
 ):
     refs = list(refs)
     if int8_kv:
-        (sc_pages_in, k_pages_out, v_pages_out, sc_pages_out, k_win, v_win,
-         sc_win, read_sems, write_sems) = refs
+        (k_pages_out, v_pages_out, k_win, v_win, sc_win,
+         read_sems, write_sems) = refs
     else:
         (k_pages_out, v_pages_out, k_win, v_win, read_sems, write_sems) = refs
-        sc_pages_in = sc_pages_out = sc_win = None
+        sc_win = None
     b = pl.program_id(0)
     p0 = start_ref[b]
     valid_seq = p0 >= 0
     nb_width = tables_ref.shape[1]
+    Hl = num_heads
 
     def seg_geom(seg):
         """Segment `seg` covers this seq's staged positions that land on
@@ -89,6 +124,12 @@ def _flush_kernel(
         stage_off = s_start - p0
         return page, win_start, row0, n, stage_off
 
+    def k_data_window(pages, page, win_start):
+        """DMA view of the data-head row window (scale heads excluded)."""
+        if sc_heads:
+            return pages.at[page, pl.ds(0, Hl), pl.ds(win_start, wa)]
+        return pages.at[page, :, pl.ds(win_start, wa)]
+
     # Issue all segment reads (K and V) up front so they overlap.
     for seg in range(max_segs):
         page, win_start, row0, n, _ = seg_geom(seg)
@@ -96,7 +137,7 @@ def _flush_kernel(
         @pl.when(valid_seq & (n > 0))
         def _read(seg=seg, page=page, win_start=win_start):
             pltpu.make_async_copy(
-                k_pages_in.at[page, :, pl.ds(win_start, wa)],
+                k_data_window(k_pages_in, page, win_start),
                 k_win.at[seg],
                 read_sems.at[seg, 0],
             ).start()
@@ -107,7 +148,7 @@ def _flush_kernel(
             ).start()
             if int8_kv:
                 pltpu.make_async_copy(
-                    sc_pages_in.at[page],
+                    k_pages_in.at[page, pl.ds(Hl, sc_heads)],
                     sc_win.at[seg],
                     read_sems.at[seg, 2],
                 ).start()
@@ -121,7 +162,7 @@ def _flush_kernel(
             stage_off=stage_off,
         ):
             pltpu.make_async_copy(
-                k_pages_in.at[page, :, pl.ds(win_start, wa)],
+                k_data_window(k_pages_in, page, win_start),
                 k_win.at[seg],
                 read_sems.at[seg, 0],
             ).wait()
@@ -132,7 +173,7 @@ def _flush_kernel(
             ).wait()
             if int8_kv:
                 pltpu.make_async_copy(
-                    sc_pages_in.at[page],
+                    k_pages_in.at[page, pl.ds(Hl, sc_heads)],
                     sc_win.at[seg],
                     read_sems.at[seg, 2],
                 ).wait()
@@ -156,45 +197,65 @@ def _flush_kernel(
                 None, :, :
             ]  # (1, WA, 1)
 
-            def compose(stage_ref, win_ref, sc_slot):
-                shifted = jax.lax.dot_general(
+            def place(stage_ref):
+                return jax.lax.dot_general(
                     Pb,
                     stage_ref[0].astype(mm_dt),
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )  # (Hkv, WA, D)
-                if int8_kv:
-                    # Per-(page, head, channel) scale: a (re)started page
-                    # (row 0 written here) gets a fresh entry from this
-                    # window's rows x KV_INT8_MARGIN headroom; an appended
-                    # page reuses its existing entry (ops/kv_cache.py).
-                    from lightvllm_tpu.ops.kv_cache import KV_INT8_MARGIN
 
+            if int8_kv:
+                shifted_k = place(k_stage_ref)
+                shifted_v = place(v_stage_ref)
+                # Existing in-page scales (append case) vs fresh (restart).
+                ex_k, ex_v = decode_inpage_scales(sc_win[seg][None], Hkv)
+
+                def select_scale(shifted, existing):
                     absmax = jnp.max(
                         jnp.where(take_row, jnp.abs(shifted), 0.0), axis=1
                     )  # (Hkv, D)
-                    fresh = absmax * (KV_INT8_MARGIN / 127.0)
-                    sel = jnp.where(
-                        row0 == 0, fresh, sc_win[seg, sc_slot]
-                    )  # (Hkv, D)
-                    sc_win[seg, sc_slot] = sel
-                    q = shifted / jnp.maximum(sel[:, None, :], 1e-20)
-                    shifted = jnp.clip(jnp.round(q), -127.0, 127.0)
-                elif jnp.dtype(win_ref.dtype).itemsize == 1:
-                    # e4m3 saturates at +-448 (matches kv_cache.to_kv_dtype)
-                    shifted = jnp.clip(shifted, -448.0, 448.0)
-                win_ref[...] = jnp.where(
-                    take_row,
-                    shifted.astype(win_ref.dtype),
-                    win_ref[...],
+                    bits = jax.lax.bitcast_convert_type(
+                        absmax * (KV_INT8_MARGIN / 127.0), jnp.int32
+                    )
+                    fresh = jax.lax.bitcast_convert_type(
+                        bits & jnp.int32(-65536), jnp.float32
+                    )  # bf16-truncated (matches ops.kv_cache.truncate_scale)
+                    return jnp.where(row0 == 0, fresh, existing[0])
+
+                sel_k = select_scale(shifted_k, ex_k)
+                sel_v = select_scale(shifted_v, ex_v)
+                sc_win[seg] = _encode_scales_mosaic(
+                    sel_k, sel_v, sc_heads, block_size
                 )
 
-            compose(k_stage_ref, k_win.at[seg], 0)
-            compose(v_stage_ref, v_win.at[seg], 1)
+                def quant_write(shifted, sel, win_ref):
+                    q = shifted / jnp.maximum(sel[:, None, :], 1e-20)
+                    q = jnp.clip(jnp.round(q), -127.0, 127.0)
+                    win_ref[...] = jnp.where(
+                        take_row, q.astype(win_ref.dtype), win_ref[...]
+                    )
+
+                quant_write(shifted_k, sel_k, k_win.at[seg])
+                quant_write(shifted_v, sel_v, v_win.at[seg])
+            else:
+                def compose(stage_ref, win_ref):
+                    shifted = place(stage_ref)
+                    if jnp.dtype(win_ref.dtype).itemsize == 1:
+                        # e4m3 saturates (matches kv_cache.to_kv_dtype)
+                        shifted = jnp.clip(shifted, -448.0, 448.0)
+                    win_ref[...] = jnp.where(
+                        take_row,
+                        shifted.astype(win_ref.dtype),
+                        win_ref[...],
+                    )
+
+                compose(k_stage_ref, k_win.at[seg])
+                compose(v_stage_ref, v_win.at[seg])
             pltpu.make_async_copy(
                 k_win.at[seg],
-                k_pages_out.at[page, :, pl.ds(win_start, wa)],
+                k_data_window(k_pages_out, page, win_start),
                 write_sems.at[seg, 0],
             ).start()
             pltpu.make_async_copy(
@@ -205,7 +266,7 @@ def _flush_kernel(
             if int8_kv:
                 pltpu.make_async_copy(
                     sc_win.at[seg],
-                    sc_pages_out.at[page],
+                    k_pages_out.at[page, pl.ds(Hl, sc_heads)],
                     write_sems.at[seg, 2],
                 ).start()
 
@@ -218,7 +279,7 @@ def _flush_kernel(
         def _drain(seg=seg, page=page, win_start=win_start):
             pltpu.make_async_copy(
                 k_win.at[seg],
-                k_pages_out.at[page, :, pl.ds(win_start, wa)],
+                k_data_window(k_pages_out, page, win_start),
                 write_sems.at[seg, 0],
             ).wait()
             pltpu.make_async_copy(
@@ -229,32 +290,34 @@ def _flush_kernel(
             if int8_kv:
                 pltpu.make_async_copy(
                     sc_win.at[seg],
-                    sc_pages_out.at[page],
+                    k_pages_out.at[page, pl.ds(Hl, sc_heads)],
                     write_sems.at[seg, 2],
                 ).wait()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "window", "interpret")
+    jax.jit, static_argnames=("block_size", "window", "sc_shards", "interpret")
 )
 def kv_flush_pallas(
-    k_pages: jnp.ndarray,  # (NB, Hkv, BSZ, D), one layer's pages
-    v_pages: jnp.ndarray,
+    k_pages: jnp.ndarray,  # (NB, Hkv [+ scale heads], BSZ, D), one layer
+    v_pages: jnp.ndarray,  # (NB, Hkv, BSZ, D)
     k_stage: jnp.ndarray,  # (B, Hkv, W, D) staged rows (compute dtype)
     v_stage: jnp.ndarray,
     start_pos: jnp.ndarray,  # (B,) int32 first staged position; < 0 skips
     block_tables: jnp.ndarray,  # (B, NB) int32
-    kv_scale: jnp.ndarray | None = None,  # int8: (NB, 2, Hkv, D) f32, RMW'd
     *,
+    sc_shards: int = 0,  # int8: in-page scale-head shard groups
     block_size: int,
     window: int,
     interpret: bool = False,
 ):
     B, Hkv, W, D = k_stage.shape
     assert W == window
-    int8_kv = kv_scale is not None
+    int8_kv = sc_shards > 0
     if int8_kv:
         assert k_pages.dtype == jnp.int8, k_pages.dtype
+        assert sc_shards == 1, sc_shards  # local shard view (see decode)
+    sc_heads = k_pages.shape[1] - Hkv if int8_kv else 0
     # Aligned RMW window: covers any [row0, row0+n) span (n <= window) from
     # a tile-aligned start. Mosaic requires the dynamic sublane DMA offset
     # divisible by the dtype's native tile height: 8 sublanes for >= 2-byte
@@ -277,6 +340,8 @@ def kv_flush_pallas(
             align=align,
             max_segs=max_segs,
             num_blocks=k_pages.shape[0],
+            num_heads=Hkv,
+            sc_heads=sc_heads,
             int8_kv=int8_kv,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -287,18 +352,14 @@ def kv_flush_pallas(
                 pl.BlockSpec((1, Hkv, W, D), lambda b, *_: (b, 0, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-            ]
-            + ([pl.BlockSpec(memory_space=pl.ANY)] if int8_kv else []),
-            out_specs=tuple(
-                pl.BlockSpec(memory_space=pl.ANY)
-                for _ in range(3 if int8_kv else 2)
-            ),
+            ],
+            out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(2)),
             scratch_shapes=[
                 pltpu.VMEM((max_segs, Hkv, wa, D), k_pages.dtype),
                 pltpu.VMEM((max_segs, Hkv, wa, D), v_pages.dtype),
             ]
             + (
-                [pltpu.VMEM((max_segs, 2, Hkv, D), jnp.float32)]
+                [pltpu.VMEM((max_segs, sc_heads, block_size, D), jnp.int8)]
                 if int8_kv else []
             )
             + [
@@ -308,20 +369,16 @@ def kv_flush_pallas(
         ),
         out_shape=tuple(
             jax.ShapeDtypeStruct(x.shape, x.dtype)
-            for x in ((k_pages, v_pages, kv_scale) if int8_kv
-                      else (k_pages, v_pages))
+            for x in (k_pages, v_pages)
         ),
-        input_output_aliases=(
-            {4: 0, 5: 1, 6: 2} if int8_kv else {4: 0, 5: 1}
-        ),
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )
-    args = [start_pos.astype(jnp.int32), block_tables, k_stage, v_stage,
-            k_pages, v_pages]
-    if int8_kv:
-        args.append(kv_scale)
-    return kernel(*args)
+    return kernel(
+        start_pos.astype(jnp.int32), block_tables, k_stage, v_stage,
+        k_pages, v_pages,
+    )

@@ -22,6 +22,8 @@ Design (TPU-first):
     always valid for every tile, which keeps pipeline priming trivial.
   - Queries interleave as row = q_pos * G + g so one causal mask (row//G)
     serves every head.
+  - INT8 KV scales ride IN-PAGE as trailing K-array scale heads (see
+    ops/kv_cache.py) — decoded from the same page DMA, no third stream.
 """
 
 from __future__ import annotations
@@ -33,12 +35,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lightvllm_tpu.ops.pallas.decode_attention import decode_inpage_scales
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _page_copies(pages_hbm, buf, sem, tables_ref, b, chunk, buf_idx, ppcb):
     """One whole-page DMA per page in the chunk (all KV heads at once).
-    pages_hbm is one layer's (NBtot, Hkv, BSZ, D) page array."""
+    pages_hbm is one layer's (NBtot, H, BSZ, D) page array."""
     return [
         pltpu.make_async_copy(
             pages_hbm.at[tables_ref[b, chunk * ppcb + j]],
@@ -56,12 +60,11 @@ def _prefill_kernel(
     cached_lens_ref,  # (B,) int32 prefix-cached tokens per seq
     # inputs
     q_ref,  # (1, Hkv, TQ*G, D) VMEM
-    k_hbm,  # (NBtot, Hkv, BSZ, D) ANY (HBM), one layer's pages
-    v_hbm,
-    # [sc_hbm when has_scale]: (NBtot, 2, Hkv, D) f32 int8-dequant scales
+    k_hbm,  # (NBtot, Hkv [+ scale heads], BSZ, D) ANY (HBM), one layer
+    v_hbm,  # (NBtot, Hkv, BSZ, D)
     # outputs: o_ref (1, Hkv, TQ*G, D) f32 VMEM
     # scratch: m_ref, l_ref (Hkv, TQ*G, 128) f32; k_buf/v_buf; sems;
-    #          [sc_buf, sc_sem when has_scale]; smem flags
+    #          smem flags
     *refs,
     block_size: int,
     ppcb: int,
@@ -72,15 +75,8 @@ def _prefill_kernel(
     has_scale: bool = False,
 ):
     refs = list(refs)
-    sc_hbm = refs.pop(0) if has_scale else None
     o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem = refs[:7]
-    rest = refs[7:]
-    if has_scale:
-        sc_buf, sc_sem = rest[0], rest[1]
-        rest = rest[2:]
-    else:
-        sc_buf = sc_sem = None
-    buf_idx_ref, init_ref = rest
+    buf_idx_ref, init_ref = refs[7:]
     b = pl.program_id(0)
     qt = pl.program_id(1)
     c = pl.program_id(2)
@@ -106,22 +102,12 @@ def _prefill_kernel(
             cp.start()
         for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, b_, c_, slot, ppcb):
             cp.start()
-        if has_scale:
-            for cp in _page_copies(
-                sc_hbm, sc_buf, sc_sem, tables_ref, b_, c_, slot, ppcb
-            ):
-                cp.start()
 
     def wait_chunk(b_, c_, slot):
         for cp in _page_copies(k_hbm, k_buf, k_sem, tables_ref, b_, c_, slot, ppcb):
             cp.wait()
         for cp in _page_copies(v_hbm, v_buf, v_sem, tables_ref, b_, c_, slot, ppcb):
             cp.wait()
-        if has_scale:
-            for cp in _page_copies(
-                sc_hbm, sc_buf, sc_sem, tables_ref, b_, c_, slot, ppcb
-            ):
-                cp.wait()
 
     @pl.when((b == 0) & (qt == 0) & (c == 0))
     def _zero_flags():
@@ -159,6 +145,11 @@ def _prefill_kernel(
 
         wait_chunk(b, c, buf_idx)
 
+        if has_scale:
+            sc_k, sc_v = decode_inpage_scales(
+                k_buf[buf_idx][:, num_kv_heads:], num_kv_heads
+            )  # (ppcb, Hkv, D) f32 each
+
         rows = tq * group
         # One causal mask serves all heads: row r is query position
         # cached + qt*tq + r//group; buffer column j is kv position
@@ -174,7 +165,7 @@ def _prefill_kernel(
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
 
         is_last = jnp.logical_not(same_tile)
-        # bf16 compute for sub-bf16 (scale-free e4m3) pages.
+        # bf16 compute for sub-bf16 (scale-free e4m3 / int8) pages.
         cd = jnp.bfloat16 if jnp.dtype(k_buf.dtype).itemsize < 2 else k_buf.dtype
         for h in range(num_kv_heads):
             q = q_ref[0, h].astype(jnp.float32) * scale  # (rows, D)
@@ -183,8 +174,7 @@ def _prefill_kernel(
             k3 = k_buf[buf_idx, :, h].astype(cd)  # (ppcb, BSZ, D)
             if has_scale:
                 # One bf16 VPU pass (see the decode kernel note).
-                sck = sc_buf[buf_idx][:, 0, h][:, None, :].astype(cd)
-                k3 = k3 * sck
+                k3 = k3 * sc_k[:, h][:, None, :].astype(cd)
             k = k3.reshape(chunk_tokens, -1)
             s = jax.lax.dot_general(
                 q.astype(cd),
@@ -206,8 +196,7 @@ def _prefill_kernel(
 
             v3 = v_buf[buf_idx, :, h].astype(cd)
             if has_scale:
-                scv = sc_buf[buf_idx][:, 1, h][:, None, :].astype(cd)
-                v3 = v3 * scv
+                v3 = v3 * sc_v[:, h][:, None, :].astype(cd)
             v = v3.reshape(chunk_tokens, -1)
             o_cur = jax.lax.dot(
                 p.astype(cd), v, preferred_element_type=jnp.float32
@@ -228,17 +217,19 @@ def _prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "scale", "ppcb", "tq", "interpret"),
+    static_argnames=(
+        "block_size", "scale", "ppcb", "tq", "sc_shards", "interpret"
+    ),
 )
 def paged_flash_prefill(
     q: jnp.ndarray,  # (B, Sq, Hq, D) rectangular new-token queries, rope'd
-    k_pages: jnp.ndarray,  # (NBtot, Hkv, BSZ, D), one layer's pages
-    v_pages: jnp.ndarray,
+    k_pages: jnp.ndarray,  # (NBtot, Hkv [+ scale heads], BSZ, D)
+    v_pages: jnp.ndarray,  # (NBtot, Hkv, BSZ, D)
     block_tables: jnp.ndarray,  # (B, NB) int32
     ctx_lens: jnp.ndarray,  # (B,) int32 full lengths (cached + new)
     cached_lens: jnp.ndarray,  # (B,) int32 prefix-cached lengths
-    kv_scale: jnp.ndarray | None = None,  # int8 pages: (NBtot, 2, Hkv, D) f32
     *,
+    sc_shards: int = 0,  # int8 pages: in-page scale-head shard groups
     block_size: int,
     scale: float,
     ppcb: int = 8,
@@ -246,7 +237,9 @@ def paged_flash_prefill(
     interpret: bool = False,
 ) -> jnp.ndarray:  # (B, Sq, Hq, D) in q.dtype
     B, Sq, Hq, D = q.shape
-    Hkv = k_pages.shape[1]
+    Hkv = v_pages.shape[1]
+    has_scale = sc_shards > 0
+    assert sc_shards in (0, 1), sc_shards  # local shard view (see decode)
     G = Hq // Hkv
     NB = block_tables.shape[1]
     ppcb = min(ppcb, NB)
@@ -277,7 +270,6 @@ def paged_flash_prefill(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Sqp - Sq), (0, 0), (0, 0)))
     qg = qg.reshape(B, Hkv, Sqp * G, D)
 
-    has_scale = kv_scale is not None
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
         pl.BlockSpec((1, Hkv, tq * G, D), lambda b, qt, c, *_: (b, 0, qt, 0)),
@@ -285,23 +277,13 @@ def paged_flash_prefill(
         any_spec,
     ]
     inputs = [qg, k_pages, v_pages]
-    if has_scale:
-        in_specs.append(any_spec)
-        inputs.append(kv_scale)
     scratch_shapes = [
         pltpu.VMEM((Hkv, tq * G, 128), jnp.float32),
         pltpu.VMEM((Hkv, tq * G, 128), jnp.float32),
-        pltpu.VMEM((2, ppcb, Hkv, block_size, D), k_pages.dtype),
+        pltpu.VMEM((2, ppcb, k_pages.shape[1], block_size, D), k_pages.dtype),
         pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SemaphoreType.DMA((2,)),
-    ]
-    if has_scale:
-        scratch_shapes += [
-            pltpu.VMEM((2, ppcb, 2, Hkv, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ]
-    scratch_shapes += [
         pltpu.SMEM((1,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
     ]

@@ -123,10 +123,12 @@ def quant_matmul_pallas(
         # f32 accumulator and 1-group weight tile both fit comfortably in
         # VMEM: bigger TO = out/TO fewer x re-reads and fewer grid steps.
         # (The old fixed TO=128/256/512 made the 151936-vocab LM head run
-        # 1187 output tiles — measured 4x its bandwidth floor.)
+        # 1187 output tiles — measured 4x its bandwidth floor.) Capped at
+        # 2048: wider tiles save <4% more grid steps while ballooning the
+        # Mosaic unroll (compile blowup risk over the remote-AOT tunnel).
         acc_cap = (8 * 2**20) // (4 * TT)
         w_cap = max(128, (4 * 2**20) // max(1, gsp))
-        lim = max(128, min(acc_cap, w_cap, out))
+        lim = max(128, min(acc_cap, w_cap, out, 2048))
         TO = 128
         for d in range(128, lim + 1, 128):
             if out % d == 0:

@@ -103,14 +103,14 @@ def param_specs(params: dict) -> dict:
 
 
 def kv_cache_specs() -> dict:
-    """KVCache pytree specs: per-layer (NB, Hkv, BSZ, D), heads on "model".
+    """KVCache pytree specs: per-layer (NB, H, BSZ, D), heads on "model".
 
-    "scale" covers the int8-KV per-(page, head, channel) scale arrays,
-    per-layer (NB, 2, Hkv, D): the Hkv axis co-shards with the KV heads it
-    dequantizes (same placement as the pages themselves). Callers with a
-    scale-free cache (bf16/fp8) simply skip the entry."""
+    INT8-KV dequant scales live IN-PAGE as trailing scale heads of each TP
+    shard's K head-axis group (ops/kv_cache.py), so the same head-axis
+    split places them — there is no separate scale leaf to mis-shard (the
+    r2 crash class where the scale arrays were dropped at placement)."""
     data = P(None, "model", None, None)
-    return {"k": data, "v": data, "scale": P(None, None, "model", None)}
+    return {"k": data, "v": data}
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:

@@ -14,10 +14,17 @@ import jax.numpy as jnp
 from lightvllm_tpu.ops.kv_cache import (
     KV_INT8_MARGIN,
     PAD_SLOT,
+    _layer_scales,
     alloc_kv_cache,
     gather_kv_for_seqs,
     write_kv_layer,
 )
+
+
+def page_scales(cache, layer=0):
+    """Decoded in-page scales as one (NB, 2, Hkv, D) array (K then V)."""
+    ks, vs = _layer_scales(cache, layer)
+    return np.stack([np.asarray(ks), np.asarray(vs)], axis=1)
 
 
 def test_write_gather_roundtrip():
@@ -62,17 +69,17 @@ def test_append_reuses_page_scale():
     cache = write_kv_layer(
         cache, 0, first, first, jnp.arange(4, dtype=jnp.int32)
     )
-    sc_before = np.asarray(cache.scale[0][0])
+    sc_before = page_scales(cache)[0]
     second = jnp.asarray(rng.standard_normal((2, Hkv, D)) * 1.5, jnp.float32)
     cache = write_kv_layer(
         cache, 0, second, second, jnp.asarray([4, 5], jnp.int32)
     )
-    np.testing.assert_array_equal(np.asarray(cache.scale[0][0]), sc_before)
+    np.testing.assert_array_equal(page_scales(cache)[0], sc_before)
     # A write that RESTARTS the page (row 0) refreshes the scale.
     cache = write_kv_layer(
         cache, 0, second, second, jnp.asarray([0, 1], jnp.int32)
     )
-    assert not np.array_equal(np.asarray(cache.scale[0][0]), sc_before)
+    assert not np.array_equal(page_scales(cache)[0], sc_before)
 
 
 @pytest.mark.parametrize("window", [4, 8])
@@ -114,12 +121,13 @@ def test_flush_kernel_matches_scatter_oracle_int8(window):
     )
 
     got = fresh_cache()
-    gk, gv, gs = kv_flush_pallas(
+    gk, gv = kv_flush_pallas(
         got.k[0], got.v[0], k_stage, v_stage, jnp.asarray(start), tables,
-        got.scale[0], block_size=BSZ, window=window, interpret=True,
+        sc_shards=1, block_size=BSZ, window=window, interpret=True,
     )
+    got = type(got)(k=(gk,), v=(gv,), sc_shards=1)
     np.testing.assert_allclose(
-        np.asarray(gs), np.asarray(oracle.scale[0]), rtol=1e-6
+        page_scales(got), page_scales(oracle), rtol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(gk), np.asarray(oracle.k[0]))
     np.testing.assert_array_equal(np.asarray(gv), np.asarray(oracle.v[0]))

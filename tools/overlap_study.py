@@ -145,7 +145,7 @@ def main() -> None:
         )
         return sample(logits, meta.temperatures, key), cache
 
-    cspecs = KVCache(k=cs["k"], v=cs["v"], scale=None)
+    cspecs = KVCache(k=cs["k"], v=cs["v"], sc_shards=0)
     step_sm = jax.shard_map(
         step_local, mesh=mesh,
         in_specs=(pspecs, P(), P(), cspecs, P()),

@@ -85,17 +85,46 @@ def main():
 
     kp8 = jnp.asarray(rng.integers(-127, 127, (NBtot, Hkv, BSZ, D)), jnp.int8)
     vp8 = jnp.asarray(rng.integers(-127, 127, (NBtot, Hkv, BSZ, D)), jnp.int8)
-    sc = jnp.asarray(
-        rng.standard_normal((NBtot, 2, Hkv, D)) * 0.01 + 0.02, jnp.float32
+    # Ablation: int8 pages WITHOUT scales (cast-only) — isolates the cost of
+    # the per-page scale DMA stream + the two dequant VPU passes.
+    t_noscale = timeit(
+        lambda q_, kp_, vp_: paged_flash_decode(
+            q_, kp_, vp_, tables, ctx, block_size=BSZ, scale=scale
+        ),
+        q, kp8, vp8,
     )
+    print(
+        f"int8-noscale: {t_noscale*1e6:8.1f} us "
+        f"({(kv_bytes//2)/t_noscale/1e9:6.1f} GB/s eff)",
+        flush=True,
+    )
+    # In-page scales (r3 layout): K pages carry trailing scale heads.
+    from lightvllm_tpu.ops.kv_cache import (
+        encode_page_scales,
+        num_scale_heads,
+        truncate_scale,
+    )
+
+    sck = truncate_scale(
+        jnp.asarray(rng.standard_normal((NBtot, Hkv, D)) * 0.01 + 0.02,
+                    jnp.float32)
+    )
+    scv = truncate_scale(
+        jnp.asarray(rng.standard_normal((NBtot, Hkv, D)) * 0.01 + 0.02,
+                    jnp.float32)
+    )
+    kp8s = jnp.concatenate(
+        [kp8, encode_page_scales(sck, scv, BSZ)], axis=1
+    )  # (NBtot, Hkv + Sh, BSZ, D)
     t_int8 = timeit(
-        lambda q_, kp_, vp_, sc_: paged_flash_decode(
-            q_, kp_, vp_, tables, ctx, kv_scale=sc_, block_size=BSZ,
+        lambda q_, kp_, vp_: paged_flash_decode(
+            q_, kp_, vp_, tables, ctx, sc_shards=1, block_size=BSZ,
             scale=scale,
         ),
-        q, kp8, vp8, sc,
+        q, kp8s, vp8,
     )
-    kv_bytes8 = kv_bytes // 2 + 2 * B * NB * Hkv * D * 4
+    sh = num_scale_heads(Hkv, BSZ)
+    kv_bytes8 = kv_bytes // 2 + B * NB * sh * BSZ * D
     print(
         f"int8:  {t_int8*1e6:8.1f} us  ({kv_bytes8/t_int8/1e9:6.1f} GB/s eff) "
         f"speedup {t_bf16/t_int8:.2f}x",

@@ -161,6 +161,7 @@ def validate_int8_kv():
     kernel vs the jnp oracles, and e2e engine int8 vs exact cache."""
     from lightvllm_tpu.ops.kv_cache import (
         alloc_kv_cache, gather_kv_for_seqs, write_kv_layer, PAD_SLOT,
+        _layer_scales,
     )
     from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
     from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
@@ -191,10 +192,16 @@ def validate_int8_kv():
     oracle = write_kv_layer(oracle, 0, kw, vw, jnp.asarray(slots.reshape(-1), jnp.int32))
 
     got = fresh()
-    gk, gv, gs = kv_flush_pallas(
+    gk, gv = kv_flush_pallas(
         got.k[0], got.v[0], k_st, v_st, jnp.asarray(start), tables,
-        got.scale[0], block_size=BSZ, window=W)
-    es = np.abs(np.asarray(gs) - np.asarray(oracle.scale[0])).max()
+        sc_shards=1, block_size=BSZ, window=W)
+
+    def pg_scales(c):  # decoded in-page scales, (NB, 2, Hkv, D)
+        ks, vs = _layer_scales(c, 0)
+        return np.stack([np.asarray(ks), np.asarray(vs)], 1)
+
+    got_c = type(got)(k=(gk,), v=(gv,), sc_shards=1)
+    es = np.abs(pg_scales(got_c) - pg_scales(oracle)).max()
     ek = np.abs(np.asarray(gk, np.int32) - np.asarray(oracle.k[0], np.int32)).max()
     ev = np.abs(np.asarray(gv, np.int32) - np.asarray(oracle.v[0], np.int32)).max()
     print(f"int8 flush: scale_err={es:.3g} k_err={ek} v_err={ev} "
@@ -207,7 +214,7 @@ def validate_int8_kv():
     ctx = jnp.asarray([20, 8, BSZ + 5, 1], jnp.int32)
     scale = D ** -0.5
     got_o = paged_flash_decode(
-        q, cache.k[0], cache.v[0], tables, ctx, kv_scale=cache.scale[0],
+        q, cache.k[0], cache.v[0], tables, ctx, sc_shards=1,
         block_size=BSZ, scale=scale)
     kf, vf = gather_kv_for_seqs(cache, 0, tables, BSZ, jnp.float32)
     out_ref = np.zeros((B, 8, D), np.float32)
