@@ -118,16 +118,40 @@ def main():
         else:
             break  # first decode window done (compiled)
 
-    # Timed decode.
+    # Timed decode — pipelined like LLMEngine.step: window N+1 is dispatched
+    # (fed by window N's device-resident last token row) before window N is
+    # fetched, so the device never idles on host postprocess + input prep.
+    # BENCH_ASYNC=0 reverts to the fetch-then-dispatch loop for A/B.
+    async_on = os.environ.get("BENCH_ASYNC", "1") != "0"
     t0 = time.perf_counter()
     done = 0
-    for _ in range(decode_steps):
-        if sched.is_finished():
-            break
-        seqs, is_prefill, window = sched.schedule()
-        assert not is_prefill
-        tokens = runner.run(seqs, is_prefill, window)
-        done += sched.postprocess(seqs, tokens)
+    steps = 0
+    pending = None
+    while steps < decode_steps and not sched.is_finished():
+        if pending is None:
+            seqs, is_prefill, window = sched.schedule()
+            assert not is_prefill
+            pending = runner.dispatch_decode(seqs, window)
+        nxt = None
+        if (
+            async_on
+            and steps + 1 < decode_steps
+            and sched.speculate_next_window(pending.seqs, pending.window)
+        ):
+            nxt = runner.dispatch_decode(
+                pending.seqs,
+                pending.window,
+                advance=pending.window,
+                chained_tokens=pending.tokens[pending.window - 1],
+            )
+        tokens = runner.fetch_decode(pending)
+        done += sched.postprocess(pending.seqs, tokens)
+        steps += 1
+        pending = nxt
+        if pending is not None and all(s.is_finished for s in pending.seqs):
+            pending = None
+    if pending is not None:
+        done += sched.postprocess(pending.seqs, runner.fetch_decode(pending))
     jax.block_until_ready(runner.cache.k)
     decode_s = time.perf_counter() - t0
 

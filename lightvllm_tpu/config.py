@@ -42,6 +42,19 @@ class Config:
     # kills per-invocation quant-matmul overhead on decode).
     fuse_projections: bool = True
     decode_window: int = 8  # decode steps fused per device dispatch
+    # Pipelined decode (host/device overlap, VERDICT r2 next#8): while
+    # window N runs on device, the engine speculatively schedules and
+    # dispatches window N+1, feeding its first token from window N's
+    # device-resident output (no host round-trip). Window N's tokens are
+    # then fetched and postprocessed while N+1 computes. Safe by
+    # construction: speculation only happens when the next step is
+    # provably the same decode batch (no admissible prefill, no
+    # max-tokens finish, blocks available without preemption); an
+    # unpredictable EOS finish just wastes that sequence's slot for one
+    # window (its tokens are discarded, its pages stay valid in device
+    # order). Applies to dp=1; any other state falls back to the
+    # synchronous path.
+    async_decode: bool = True
     # KV write strategy for decode: "staged" buffers the window's K/V in a
     # dense staging buffer (vectorized writes + one per-window Pallas flush);
     # "scatter" is the per-step XLA scatter (serial on TPU, ~3.5 ms/step at

@@ -92,6 +92,12 @@ class LLMEngine:
         else:
             self.scheduler = Scheduler(self.config)
         self._stats = {"prefill_tokens": 0, "decode_tokens": 0, "prefill_s": 0.0, "decode_s": 0.0}
+        # Pipelined decode state: the one in-flight speculated window
+        # (engine.step drains it before scheduling anything else).
+        self._pending = None
+        self._async_decode = (
+            self.config.async_decode and self.config.data_parallel_size == 1
+        )
 
     # ---------------- public API (mirrors the reference surface) ---------
 
@@ -124,7 +130,44 @@ class LLMEngine:
         processed, is_prefill).
         """
         t0 = time.perf_counter()
-        seqs, is_prefill, window = self.scheduler.schedule()
+        pending = self._pending
+        self._pending = None
+        if pending is not None and all(s.is_finished for s in pending.seqs):
+            # The whole batch drained at the previous postprocess — the
+            # speculated window is garbage for every slot. Drop it without
+            # blocking: its writes only touched never-hash-registered tail
+            # pages, and anything reusing those pages dispatches after it
+            # in device order (see Scheduler.speculate_next_window).
+            pending = None
+        if pending is None:
+            seqs, is_prefill, window = self.scheduler.schedule()
+            if is_prefill or self.config.data_parallel_size > 1:
+                return self._sync_step(t0, seqs, is_prefill, window)
+            pending = self.model_runner.dispatch_decode(seqs, window)
+        # Pipelined decode: enqueue the NEXT window (fed by this window's
+        # device-resident last token row) before blocking on this one, so
+        # the device never idles while the host fetches + postprocesses.
+        if self._async_decode and self.scheduler.speculate_next_window(
+            pending.seqs, pending.window
+        ):
+            self._pending = self.model_runner.dispatch_decode(
+                pending.seqs,
+                pending.window,
+                advance=pending.window,
+                chained_tokens=pending.tokens[pending.window - 1],
+            )
+        token_ids = self.model_runner.fetch_decode(pending)
+        appended = self.scheduler.postprocess(pending.seqs, token_ids)
+        finished = [
+            (s.seq_id, s.completion_token_ids)
+            for s in pending.seqs
+            if s.is_finished
+        ]
+        self._stats["decode_tokens"] += appended
+        self._stats["decode_s"] += time.perf_counter() - t0
+        return finished, appended, False
+
+    def _sync_step(self, t0, seqs, is_prefill, window):
         token_ids = self.model_runner.run(seqs, is_prefill, window)
         # With data parallelism `seqs` is a list of per-group lists.
         flat = (

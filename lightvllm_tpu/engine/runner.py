@@ -40,6 +40,23 @@ from lightvllm_tpu.utils.metadata import DecodeMeta, PrefillMeta
 PAD_SLOT_NP = np.iinfo(np.int32).max
 
 
+class DecodeDispatch:
+    """An in-flight fused decode window: the device-resident (window, B)
+    sampled-token array plus everything fetch_decode needs to account for
+    it. `tokens[window-1]` is the feed vector for a chained (speculated)
+    next window — sliced on device, never synced to host."""
+
+    __slots__ = ("seqs", "window", "tokens", "t0", "prep_s", "speculated")
+
+    def __init__(self, seqs, window, tokens, t0, prep_s, speculated):
+        self.seqs = seqs
+        self.window = window
+        self.tokens = tokens
+        self.t0 = t0
+        self.prep_s = prep_s
+        self.speculated = speculated
+
+
 def _sample_mode(seqs) -> str:
     """Trace-time sampler variant for a batch (each mode is its own
     compiled executable):
@@ -908,40 +925,102 @@ class ModelRunner:
         }
         return out
 
+    def dispatch_decode(
+        self,
+        seqs: list[Sequence],
+        window: int,
+        *,
+        advance: int = 0,
+        chained_tokens=None,
+    ) -> "DecodeDispatch":
+        """Enqueue one fused decode window WITHOUT blocking on its result.
+
+        Pipelined decode (host/device overlap — the TPU answer to the
+        reference's pinned-memory async H2D prep overlap,
+        `lightvllm/engine/model_runner.py:335-364`): the engine dispatches
+        window N+1 while window N is still computing, so the device never
+        idles on host postprocess + input prep between windows.
+
+        advance > 0 builds the metadata as if `advance` tokens had already
+        been appended to every sequence (positions/ctx_lens shifted; the
+        block tables must already cover the shifted window — the scheduler's
+        `speculate_next_window` pre-allocates them). `chained_tokens` is the
+        device-resident (B,) feed vector — row window-1 of the previous
+        dispatch's output — so speculated windows never wait on a host
+        round-trip for their input token.
+        """
+        t0 = time.perf_counter()
+        self._key, step_key = jax.random.split(self._key)
+        extended = _sample_mode(seqs)
+        B = bucket(len(seqs), minimum=8, cap=bucket(self.config.max_num_seqs, 8))
+        a = self._decode_arrays(seqs, B)
+        host_tokens = a.pop("token_ids")
+        if advance:
+            n = len(seqs)
+            a["positions"][:n] += advance
+            a["ctx_lens"][:n] += advance
+        meta = DecodeMeta(**{k: jnp.asarray(v) for k, v in a.items()})
+        token_ids = (
+            chained_tokens if chained_tokens is not None else jnp.asarray(host_tokens)
+        )
+        t_prep = time.perf_counter() - t0
+        tokens, self.cache = self._decode(
+            self.params, token_ids, meta, self.cache, step_key, window, extended
+        )
+        return DecodeDispatch(
+            seqs=seqs,
+            window=window,
+            tokens=tokens,
+            t0=t0,
+            prep_s=t_prep,
+            speculated=advance > 0,
+        )
+
+    def fetch_decode(self, d: "DecodeDispatch") -> list[list[int]]:
+        """Block on a dispatched window's sampled tokens; (window, B)."""
+        out = np.asarray(d.tokens)[:, : len(d.seqs)].tolist()
+        self.last_step_stats = {
+            "is_prefill": False,
+            "num_seqs": len(d.seqs),
+            "window": d.window,
+            "padded_shape": tuple(d.tokens.shape),
+            "prep_time_s": d.prep_s,
+            "speculated": d.speculated,
+            # Dispatch-to-fetch wall time. For a speculated window this spans
+            # the previous window's device tail too, so the engine's
+            # fetch-to-fetch accounting is the throughput source of truth.
+            "step_time_s": time.perf_counter() - d.t0,
+        }
+        return out
+
     def run(self, seqs: list[Sequence], is_prefill: bool, window: int = 1):
         """Prefill: returns (B,) sampled tokens. Decode: returns
         (window, B) sampled tokens (list of lists)."""
         if self.dp > 1:
             return self.run_groups(seqs, is_prefill, window)
+        if not is_prefill:
+            return self.fetch_decode(self.dispatch_decode(seqs, window))
         t0 = time.perf_counter()
         self._key, step_key = jax.random.split(self._key)
         # Trace-time sampler mode: batches without top-k/top-p/seeds never
         # pay filtering or per-row PRNG, and top-k-only batches use the
         # O(V) lax.top_k threshold path instead of the (B, V) argsort.
         extended = _sample_mode(seqs)
-        if is_prefill:
-            token_ids, meta = self.prepare_prefill(seqs)
-            t_prep = time.perf_counter() - t0
-            tokens, self.cache = self._prefill(
-                self.params, token_ids, meta, self.cache, step_key, extended
-            )
-            out = np.asarray(tokens)[: len(seqs)].tolist()
-        else:
-            token_ids, meta = self.prepare_decode(seqs)
-            t_prep = time.perf_counter() - t0
-            tokens, self.cache = self._decode(
-                self.params, token_ids, meta, self.cache, step_key, window, extended
-            )
-            out = np.asarray(tokens)[:, : len(seqs)].tolist()
+        token_ids, meta = self.prepare_prefill(seqs)
+        t_prep = time.perf_counter() - t0
+        tokens, self.cache = self._prefill(
+            self.params, token_ids, meta, self.cache, step_key, extended
+        )
+        out = np.asarray(tokens)[: len(seqs)].tolist()
         self.last_step_stats = {
-            "is_prefill": is_prefill,
+            "is_prefill": True,
             "num_seqs": len(seqs),
-            "window": 1 if is_prefill else window,
+            "window": 1,
             "padded_shape": tuple(token_ids.shape),
             # Host-side input-prep share of the step: the reference overlaps
-            # this with pinned async copies (model_runner.py:271-381); here
-            # it is one numpy pass per fused window — recorded so the
-            # tradeoff stays measured, not assumed.
+            # this with pinned async copies (model_runner.py:335-364); here
+            # it is one numpy pass per batch — recorded so the tradeoff
+            # stays measured, not assumed.
             "prep_time_s": t_prep,
             "step_time_s": time.perf_counter() - t0,
         }

@@ -164,6 +164,54 @@ class Scheduler:
         self.running.extendleft(reversed(scheduled))
         return scheduled, False, window
 
+    def speculate_next_window(self, seqs: list[Sequence], window: int) -> bool:
+        """Reserve a SECOND fused decode window for the same batch before
+        the first window's tokens are known (pipelined decode,
+        `Config.async_decode`). Returns True only when the next schedule()
+        is provably this same (seqs, window) decode step:
+
+          - nothing is waiting (the next step cannot be a prefill, and a
+            request added later still dispatches after the speculated
+            window — device execution order makes its freshly-allocated
+            pages safe);
+          - the running deque IS `seqs` (no capped-out stragglers whose
+            turn it would be, no sequence finished since dispatch);
+          - no sequence can hit max_tokens within EITHER window (so the
+            window size provably repeats). An EOS finish inside the first
+            window is the one unpredictable event, and it is benign: that
+            slot computes one window of garbage that postprocess discards
+            (`is_finished` skip), and its pages are freed only at the
+            first window's postprocess — after the speculated dispatch is
+            already enqueued, so device order protects any reuse;
+          - both windows' pages fit in the free pool WITHOUT preemption
+            (speculation never preempts — under pressure it just declines
+            and the next real schedule() applies policy).
+
+        On success the block tables are pre-extended (`may_append` with a
+        2-window horizon) so the shifted window's KV writes all have
+        physical pages. Hash registration of blocks that fill during the
+        first window self-defers: their token ids are not known yet, and
+        `may_append` only registers token-complete blocks, so the next
+        non-speculative schedule registers them."""
+        if self.waiting:
+            return False
+        if len(self.running) != len(seqs) or any(
+            a is not b for a, b in zip(self.running, seqs)
+        ):
+            return False
+        for s in seqs:
+            if s.max_tokens - s.num_completion_tokens < 2 * window:
+                return False
+        bm = self.block_manager
+        if (
+            sum(bm.blocks_needed_for_append(s, 2 * window) for s in seqs)
+            > bm.num_free_blocks
+        ):
+            return False
+        for s in seqs:
+            bm.may_append(s, 2 * window)
+        return True
+
     def postprocess(self, seqs: list[Sequence], token_ids) -> int:
         """Apply sampled tokens. token_ids is (B,) for a single step or
         (window, B) for a fused decode window; tokens sampled after a
