@@ -39,21 +39,51 @@ QDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 SEQ = 512
 BATCH = 32
-STEPS = 4000
 LR = 1e-3
 EVAL_TOKENS = 65536
+
+# Model scales (VERDICT r2 next#6: the 12M gate cannot probe the outlier
+# channels that break int4 at 8B scale; a ~90M train on the same corpus
+# probes them much harder). Same serving-relevant architecture family at
+# every size: GQA + qk-norm + SwiGLU + tied embeddings + head_dim 128.
+SIZES = {
+    "12m": dict(
+        steps=4000, corpus_mib=24,
+        spec=dict(num_layers=6, hidden_size=384, num_q_heads=4,
+                  num_kv_heads=2, intermediate_size=1152),
+    ),
+    "90m": dict(
+        steps=8000, corpus_mib=160,
+        spec=dict(num_layers=12, hidden_size=768, num_q_heads=8,
+                  num_kv_heads=4, intermediate_size=2304),
+    ),
+}
+SIZE = os.environ.get("QGATE_SIZE", "12m")
+
+
+def _tag():
+    # The original 12M artifacts predate the size flag; keep their names.
+    return "" if SIZE == "12m" else f"_{SIZE}"
+
+
+def _ckpt_path():
+    return os.path.join(QDIR, f"tiny_pylm_f32{_tag()}.npz")
+
+
+def _corpus_path(kind):
+    return os.path.join(QDIR, f"corpus_{kind}{_tag()}.npy")
 
 
 def spec_kwargs():
     return dict(
-        num_layers=6, hidden_size=384, num_q_heads=4, num_kv_heads=2,
-        head_dim=128, intermediate_size=1152, vocab_size=256,
-        rope_theta=1e4, rms_eps=1e-6, tie_word_embeddings=True,
+        head_dim=128, vocab_size=256, rope_theta=1e4, rms_eps=1e-6,
+        tie_word_embeddings=True, **SIZES[SIZE]["spec"],
     )
 
 
 def build_corpus() -> None:
     os.makedirs(QDIR, exist_ok=True)
+    cap = SIZES[SIZE]["corpus_mib"] * 2**20
     roots = [
         os.path.join(os.path.dirname(QDIR)),  # this repo
         os.path.dirname(np.__file__),  # numpy source
@@ -64,8 +94,13 @@ def build_corpus() -> None:
         roots.append(os.path.dirname(_jax.__file__))
     except Exception:
         pass
+    # Larger scales need more unique bytes than numpy+jax hold; walk the
+    # whole site-packages tree (torch, scipy, transformers, ... — all real
+    # structured source) until the cap is met.
+    roots.append(os.path.dirname(os.path.dirname(np.__file__)))
     chunks = []
     total = 0
+    seen = set()
     for root in roots:
         for dirpath, _, files in os.walk(root):
             if ".git" in dirpath or ".quality" in dirpath:
@@ -73,24 +108,28 @@ def build_corpus() -> None:
             for f in sorted(files):
                 if not f.endswith(".py"):
                     continue
+                path = os.path.realpath(os.path.join(dirpath, f))
+                if path in seen:
+                    continue
+                seen.add(path)
                 try:
-                    with open(os.path.join(dirpath, f), "rb") as fh:
+                    with open(path, "rb") as fh:
                         b = fh.read()
                 except OSError:
                     continue
                 if b:
                     chunks.append(np.frombuffer(b, np.uint8))
                     total += len(b)
-            if total > 24 * 2**20:
+            if total > cap:
                 break
-        if total > 24 * 2**20:
+        if total > cap:
             break
     data = np.concatenate(chunks)
     # Held-out split: the stream's tail (different files than the head).
     n_eval = EVAL_TOKENS + 1
     train, evl = data[:-n_eval], data[-n_eval:]
-    np.save(os.path.join(QDIR, "corpus_train.npy"), train)
-    np.save(os.path.join(QDIR, "corpus_eval.npy"), evl)
+    np.save(_corpus_path("train"), train)
+    np.save(_corpus_path("eval"), evl)
     print(f"corpus: {len(train)/2**20:.1f} MiB train, {len(evl)} eval bytes")
 
 
@@ -152,14 +191,15 @@ def train() -> None:
     spec = qwen3.ModelSpec(dtype="float32", **spec_kwargs())
     params = qwen3.init_params(spec, jax.random.PRNGKey(42))
     n_par = sum(x.size for x in jax.tree.leaves(params))
-    print(f"training {n_par/1e6:.1f}M params, {STEPS} steps "
+    steps = SIZES[SIZE]["steps"]
+    print(f"training {n_par/1e6:.1f}M params, {steps} steps "
           f"batch {BATCH}x{SEQ}", flush=True)
 
-    corpus = np.load(os.path.join(QDIR, "corpus_train.npy"))
+    corpus = np.load(_corpus_path("train"))
     corpus_dev = jnp.asarray(corpus)  # few MiB of uint8 on device
     max_start = len(corpus) - SEQ - 1
 
-    sched = optax.warmup_cosine_decay_schedule(0.0, LR, 200, STEPS, LR * 0.05)
+    sched = optax.warmup_cosine_decay_schedule(0.0, LR, 200, steps, LR * 0.05)
     opt = optax.adamw(sched, weight_decay=0.01)
     opt_state = opt.init(params)
     positions = jnp.arange(SEQ, dtype=jnp.int32)
@@ -191,15 +231,15 @@ def train() -> None:
 
     carry = (params, opt_state, jax.random.PRNGKey(0))
     t0 = time.time()
-    for c in range(STEPS // CHUNK):
+    for c in range(steps // CHUNK):
         carry, losses = run_chunk(carry, jnp.int32(c * CHUNK))
         lo = np.asarray(losses)
         print(f"step {(c+1)*CHUNK}: loss {lo[-10:].mean():.4f} "
               f"({lo[-10:].mean()/np.log(2):.3f} bits/byte) "
               f"[{time.time()-t0:.0f}s]", flush=True)
     params = carry[0]
-    save_params(params, os.path.join(QDIR, "tiny_pylm_f32.npz"))
-    print("saved", os.path.join(QDIR, "tiny_pylm_f32.npz"))
+    save_params(params, _ckpt_path())
+    print("saved", _ckpt_path())
 
 
 def _quantize_stacked(params, bits: int, group_size: int = 128):
@@ -222,6 +262,65 @@ def _quantize_stacked(params, bits: int, group_size: int = 128):
     return out
 
 
+def quant_error_stats() -> None:
+    """Per-layer, per-projection quantization error of the trained weights
+    (VERDICT r2 next#6: surface the outlier channels that break int4).
+
+    For every projection weight W and bits in {8, 4}: relative Frobenius
+    reconstruction error of dequant(quant(W)), worst per-group error, and a
+    channel-outlier ratio (max / median of per-out-channel absmax) — the
+    statistic that predicts int4 breakdown. Writes
+    .quality/quant_error{tag}.json with per-layer rows plus a histogram of
+    per-group relative errors."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightvllm_tpu.models import qwen3
+    from lightvllm_tpu.ops.quantization import dequantize, quantize_weight
+    from lightvllm_tpu.utils.loader import load_saved_params
+
+    spec_f32 = qwen3.ModelSpec(dtype="float32", **spec_kwargs())
+    params = load_saved_params(_ckpt_path(), spec_f32)
+    rows = []
+    hist_bins = np.linspace(0.0, 0.2, 41)
+    hists = {8: np.zeros(40, np.int64), 4: np.zeros(40, np.int64)}
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        for l, wl in enumerate(params["layers"][name]):
+            w = jnp.asarray(wl, jnp.float32)
+            absmax_c = np.asarray(jnp.max(jnp.abs(w), axis=0))  # per out-chan
+            outlier = float(absmax_c.max() / (np.median(absmax_c) + 1e-30))
+            row = {"layer": l, "proj": name, "outlier_ratio": round(outlier, 2)}
+            for bits in (8, 4):
+                # group 128 matches _quantize_stacked's gate path.
+                qt = quantize_weight(w.astype(jnp.bfloat16), bits, 128)
+                deq = dequantize(qt, jnp.float32)
+                err = deq - w
+                rel = float(jnp.linalg.norm(err) / (jnp.linalg.norm(w) + 1e-30))
+                # Per-(group, out) relative error against the group absmax.
+                wg = np.asarray(w).reshape(qt.scale.shape[0], -1, w.shape[1])
+                eg = np.asarray(err).reshape(wg.shape)
+                gnorm = np.sqrt((wg ** 2).sum(1)) + 1e-30
+                grel = np.sqrt((eg ** 2).sum(1)) / gnorm
+                hists[bits] += np.histogram(grel, bins=hist_bins)[0]
+                row[f"rel_err_int{bits}"] = round(rel, 5)
+                row[f"worst_group_rel_err_int{bits}"] = round(float(grel.max()), 5)
+            rows.append(row)
+    worst = sorted(rows, key=lambda r: -r["rel_err_int4"])[:8]
+    out = {
+        "size": SIZE,
+        "hist_bins": hist_bins.tolist(),
+        "hist_group_rel_err": {str(b): h.tolist() for b, h in hists.items()},
+        "per_layer": rows,
+        "worst_int4": worst,
+    }
+    path = os.path.join(QDIR, f"quant_error{_tag()}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"quant_error_stats": path,
+                      "max_outlier_ratio": max(r["outlier_ratio"] for r in rows),
+                      "worst_int4_rel_err": worst[0]["rel_err_int4"]}), flush=True)
+
+
 def gate(attn_impls=("jnp",)) -> None:
     import jax
     import jax.numpy as jnp
@@ -232,13 +331,13 @@ def gate(attn_impls=("jnp",)) -> None:
 
     spec_f32 = qwen3.ModelSpec(dtype="float32", **spec_kwargs())
     spec = qwen3.ModelSpec(dtype="bfloat16", **spec_kwargs())
-    params_f32 = load_saved_params(os.path.join(QDIR, "tiny_pylm_f32.npz"), spec_f32)
+    params_f32 = load_saved_params(_ckpt_path(), spec_f32)
     params_bf16 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 and x.ndim >= 1 else x,
         params_f32,
     )
-    tokens = np.load(os.path.join(QDIR, "corpus_eval.npy")).astype(np.int32)
+    tokens = np.load(_corpus_path("eval")).astype(np.int32)
 
     results = []
     for attn in attn_impls:
@@ -259,24 +358,26 @@ def gate(attn_impls=("jnp",)) -> None:
                 r["ppl_delta_vs_bf16"] = r["ppl"] - base
             results.append(r)
             print(json.dumps(r), flush=True)
-    with open(os.path.join(QDIR, "gate_results.json"), "w") as f:
+    with open(os.path.join(QDIR, f"gate_results{_tag()}.json"), "w") as f:
         json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", nargs="?", default="all",
-                    choices=["corpus", "train", "gate", "all"])
+                    choices=["corpus", "train", "gate", "errstats", "all"])
     ap.add_argument("--attn", default="jnp",
                     help="comma list: jnp,pallas (pallas needs the TPU)")
     args = ap.parse_args()
     if args.stage in ("corpus", "all") and not os.path.exists(
-        os.path.join(QDIR, "corpus_train.npy")
+        _corpus_path("train")
     ):
         build_corpus()
     if args.stage in ("train", "all") and not os.path.exists(
-        os.path.join(QDIR, "tiny_pylm_f32.npz")
+        _ckpt_path()
     ):
         train()
+    if args.stage in ("errstats", "all"):
+        quant_error_stats()
     if args.stage in ("gate", "all"):
         gate(tuple(args.attn.split(",")))
