@@ -227,21 +227,38 @@ def _decode_kernel(
         # array across sublane dims lowers to a slow Mosaic relayout
         # (measured ~1.9 ms/layer vs 0.3 for bf16); the elementwise cast on
         # the native page layout is cheap and the bf16 reshape is free.
-        k4 = kslab.astype(cd)  # (ppcb, Hkv, BSZ, D)
+        k4 = kslab.astype(cd)  # (ppcb, Hkv, BSZ, D); int8 payload exact in cd
         if has_scale:
-            # int8 dequant: per-(page, head, channel) scale — a lane-
-            # preserving broadcast over the BSZ sublanes, ONE bf16 VPU pass
-            # (an f32 upcast-multiply-downcast chain here measurably eats
-            # the bandwidth win at moderate context; bf16 scale rounding is
-            # exact — the stored scale IS bf16).
-            k4 = k4 * sc_k[:, :, None, :].astype(cd)
-        k = k4.reshape(Tbig, -1)  # (Tbig, D)
-        s = jax.lax.dot_general(
-            q.astype(cd),
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (HG, Tbig)
+            # Dequant by folding the per-(page, head, channel) K scale into
+            # q, not into the page: q*sc_k is (ppcb, HG, D) VPU work vs
+            # (ppcb, Hkv, BSZ, D) for page-side dequant — BSZ/Gp (8x at
+            # BSZ=64) fewer multiplies, and the int8 page feeds the MXU
+            # unmodified (values <= 127 are exact in bf16). Scores become
+            # sum_d (q_d sc_d) k_d — identical math, page-batched matmuls.
+            qs = (
+                q.reshape(Hkv, Gp, -1)[None, :, :, :]
+                * sc_k[:, :, None, :]
+            ).astype(cd)  # (ppcb, Hkv, Gp, D)
+            s = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        qs[pg].reshape(HG, -1),
+                        k4[pg].reshape(Hkv * block_size, -1),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    for pg in range(ppcb)
+                ],
+                axis=1,
+            )  # (HG, Tbig) — same (page, head, token) column order
+        else:
+            k = k4.reshape(Tbig, -1)  # (Tbig, D)
+            s = jax.lax.dot_general(
+                q.astype(cd),
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (HG, Tbig)
 
         row_head = jax.lax.broadcasted_iota(jnp.int32, (HG, Tbig), 0) // Gp
         col = jax.lax.broadcasted_iota(jnp.int32, (HG, Tbig), 1)
@@ -266,11 +283,31 @@ def _decode_kernel(
         )
         v4 = v_buf[buf_idx].astype(cd)
         if has_scale:
-            v4 = v4 * sc_v[:, :, None, :].astype(cd)
-        v = v4.reshape(Tbig, -1)  # (Tbig, D)
-        o_cur = jax.lax.dot(
-            p.astype(cd), v, preferred_element_type=jnp.float32
-        )  # (HG, D)
+            # V dequant folds into the per-page partial output: row hg of
+            # p_pg @ v_pg only accumulates tokens of head hg//Gp (cross-head
+            # scores are exact zeros), so the per-(page, head, channel) V
+            # scale multiplies the (HG, D) partial in f32 — BSZ/Gp fewer
+            # VPU ops than page-side dequant, and the rescale happens in
+            # f32 output domain (strictly tighter than bf16 page dequant).
+            pcd = p.astype(cd)
+            T1 = Hkv * block_size
+            D_ = v4.shape[-1]
+            sc_v_rows = jnp.broadcast_to(
+                sc_v[:, :, None, :], (ppcb, Hkv, Gp, D_)
+            ).reshape(ppcb, HG, D_)
+            o_cur = jnp.zeros((HG, D_), jnp.float32)
+            for pg in range(ppcb):
+                o_pg = jax.lax.dot(
+                    pcd[:, pg * T1 : (pg + 1) * T1],
+                    v4[pg].reshape(T1, -1),
+                    preferred_element_type=jnp.float32,
+                )  # (HG, D)
+                o_cur = o_cur + o_pg * sc_v_rows[pg]
+        else:
+            v = v4.reshape(Tbig, -1)  # (Tbig, D)
+            o_cur = jax.lax.dot(
+                p.astype(cd), v, preferred_element_type=jnp.float32
+            )  # (HG, D)
         o_prev = o_ref[0].reshape(HG, -1)
         o_ref[0] = (o_prev * alpha + o_cur).reshape(o_ref.shape[1:])
 
