@@ -37,6 +37,12 @@ def main():
     model = os.environ.get("BENCH_MODEL", "0.6b")  # 0.6b | 1.7b | 4b | 8b
     kv_mode = os.environ.get("BENCH_KV_MODE", "staged")  # staged | scatter
     hbm_util = float(os.environ.get("BENCH_HBM", 0.9))
+    if model == "8b" and "LV_HBM_BYTES" not in os.environ:
+        # The tunnel transport reports no memory stats, and with the AOT
+        # sizing probe disabled (below) the 16 GiB reconstruction default
+        # over-commits the KV pool at 8B (measured OOM on the v5e). 12 GiB
+        # is the measured-safe budget for this bench's shapes.
+        os.environ["LV_HBM_BYTES"] = str(12 * 2**30)
 
     # Qwen3 family architectures (HF configs).
     archs = {
@@ -118,39 +124,53 @@ def main():
         else:
             break  # first decode window done (compiled)
 
-    # Timed decode — pipelined like LLMEngine.step: window N+1 is dispatched
-    # (fed by window N's device-resident last token row) before window N is
-    # fetched, so the device never idles on host postprocess + input prep.
+    # Timed decode — pipelined like LLMEngine.step: up to BENCH_DEPTH
+    # further windows are dispatched (each fed by the previous window's
+    # device-resident last token row) before the oldest is fetched, so the
+    # device never idles on host postprocess + input prep and (depth >= 2)
+    # the sampled-token D2H transfer overlaps the next window's compute.
     # BENCH_ASYNC=0 reverts to the fetch-then-dispatch loop for A/B.
     async_on = os.environ.get("BENCH_ASYNC", "1") != "0"
+    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    from collections import deque
+
     t0 = time.perf_counter()
     done = 0
     steps = 0
-    pending = None
+    q: deque = deque()
+    dispatched = 0
     while steps < decode_steps and not sched.is_finished():
-        if pending is None:
+        if q and all(s.is_finished for s in q[0].seqs):
+            q.clear()
+        if not q:
             seqs, is_prefill, window = sched.schedule()
             assert not is_prefill
-            pending = runner.dispatch_decode(seqs, window)
-        nxt = None
-        if (
+            q.append(runner.dispatch_decode(seqs, window))
+            dispatched += 1
+        while (
             async_on
-            and steps + 1 < decode_steps
-            and sched.speculate_next_window(pending.seqs, pending.window)
-        ):
-            nxt = runner.dispatch_decode(
-                pending.seqs,
-                pending.window,
-                advance=pending.window,
-                chained_tokens=pending.tokens[pending.window - 1],
+            and len(q) <= depth
+            and dispatched < decode_steps
+            and sched.speculate_next_window(
+                q[-1].seqs, q[-1].window, inflight=len(q)
             )
+        ):
+            last = q[-1]
+            q.append(
+                runner.dispatch_decode(
+                    last.seqs,
+                    last.window,
+                    advance=len(q) * last.window,
+                    chained_tokens=last.last_tokens,
+                )
+            )
+            dispatched += 1
+        pending = q.popleft()
         tokens = runner.fetch_decode(pending)
         done += sched.postprocess(pending.seqs, tokens)
         steps += 1
-        pending = nxt
-        if pending is not None and all(s.is_finished for s in pending.seqs):
-            pending = None
-    if pending is not None:
+    while q:
+        pending = q.popleft()
         done += sched.postprocess(pending.seqs, runner.fetch_decode(pending))
     jax.block_until_ready(runner.cache.k)
     decode_s = time.perf_counter() - t0

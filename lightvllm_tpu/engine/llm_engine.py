@@ -11,6 +11,7 @@ instead of the reference's signed-token-count convention (SURVEY.md §2.9.10).
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import fields
 
 import numpy as np
@@ -92,12 +93,13 @@ class LLMEngine:
         else:
             self.scheduler = Scheduler(self.config)
         self._stats = {"prefill_tokens": 0, "decode_tokens": 0, "prefill_s": 0.0, "decode_s": 0.0}
-        # Pipelined decode state: the one in-flight speculated window
+        # Pipelined decode state: FIFO of in-flight speculated windows
         # (engine.step drains it before scheduling anything else).
-        self._pending = None
+        self._pending: deque = deque()
         self._async_decode = (
             self.config.async_decode and self.config.data_parallel_size == 1
         )
+        self._async_depth = max(1, self.config.async_decode_depth)
 
     # ---------------- public API (mirrors the reference surface) ---------
 
@@ -130,32 +132,43 @@ class LLMEngine:
         processed, is_prefill).
         """
         t0 = time.perf_counter()
-        pending = self._pending
-        self._pending = None
-        if pending is not None and all(s.is_finished for s in pending.seqs):
-            # The whole batch drained at the previous postprocess — the
-            # speculated window is garbage for every slot. Drop it without
-            # blocking: its writes only touched never-hash-registered tail
-            # pages, and anything reusing those pages dispatches after it
-            # in device order (see Scheduler.speculate_next_window).
-            pending = None
-        if pending is None:
+        q = self._pending
+        if q and all(s.is_finished for s in q[0].seqs):
+            # The whole batch drained at the previous postprocess — every
+            # speculated window is garbage for every slot. Drop them
+            # without blocking: their writes only touched
+            # never-hash-registered tail pages, and anything reusing those
+            # pages dispatches after them in device order (see
+            # Scheduler.speculate_next_window).
+            q.clear()
+        if not q:
             seqs, is_prefill, window = self.scheduler.schedule()
             if is_prefill or self.config.data_parallel_size > 1:
                 return self._sync_step(t0, seqs, is_prefill, window)
-            pending = self.model_runner.dispatch_decode(seqs, window)
-        # Pipelined decode: enqueue the NEXT window (fed by this window's
-        # device-resident last token row) before blocking on this one, so
-        # the device never idles while the host fetches + postprocesses.
-        if self._async_decode and self.scheduler.speculate_next_window(
-            pending.seqs, pending.window
-        ):
-            self._pending = self.model_runner.dispatch_decode(
-                pending.seqs,
-                pending.window,
-                advance=pending.window,
-                chained_tokens=pending.tokens[pending.window - 1],
+            q.append(self.model_runner.dispatch_decode(seqs, window))
+        # Pipelined decode: keep up to `async_decode_depth` further windows
+        # enqueued (each fed by the previous window's device-resident last
+        # token row) before blocking on the oldest one, so the device never
+        # idles on host postprocess + input prep, and (depth >= 2) the
+        # sampled-token D2H transfer overlaps the next window's compute.
+        while (
+            self._async_decode
+            and len(q) <= self._async_depth
+            and self.scheduler.speculate_next_window(
+                q[-1].seqs, q[-1].window, inflight=len(q)
             )
+        ):
+            last = q[-1]
+            q.append(
+                self.model_runner.dispatch_decode(
+                    last.seqs,
+                    last.window,
+                    # Host sequence state lags by every in-flight window.
+                    advance=len(q) * last.window,
+                    chained_tokens=last.last_tokens,
+                )
+            )
+        pending = q.popleft()
         token_ids = self.model_runner.fetch_decode(pending)
         appended = self.scheduler.postprocess(pending.seqs, token_ids)
         finished = [

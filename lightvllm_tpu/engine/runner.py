@@ -43,15 +43,22 @@ PAD_SLOT_NP = np.iinfo(np.int32).max
 class DecodeDispatch:
     """An in-flight fused decode window: the device-resident (window, B)
     sampled-token array plus everything fetch_decode needs to account for
-    it. `tokens[window-1]` is the feed vector for a chained (speculated)
-    next window — sliced on device, never synced to host."""
+    it. `last_tokens` is the window's final (B,) sampled row — a separate
+    jit OUTPUT (the scan carry), not a host-side tokens[window-1] slice:
+    an eager slice costs its own compile+execute round trip over the PJRT
+    tunnel (~70 ms/window measured at b128). It feeds a chained
+    (speculated) next window without ever syncing to host."""
 
-    __slots__ = ("seqs", "window", "tokens", "t0", "prep_s", "speculated")
+    __slots__ = (
+        "seqs", "window", "tokens", "last_tokens", "t0", "prep_s",
+        "speculated",
+    )
 
-    def __init__(self, seqs, window, tokens, t0, prep_s, speculated):
+    def __init__(self, seqs, window, tokens, last_tokens, t0, prep_s, speculated):
         self.seqs = seqs
         self.window = window
         self.tokens = tokens
+        self.last_tokens = last_tokens
         self.t0 = t0
         self.prep_s = prep_s
         self.speculated = speculated
@@ -329,6 +336,12 @@ class ModelRunner:
                     )
                     return (nxt, cache), nxt
 
+                # The scan carry's token slot IS the window's last sampled
+                # row; returning it as its own output lets a chained
+                # (speculated) next window feed from it directly — an eager
+                # toks[window-1] slice on the host costs a separate
+                # compile+execute round trip over the PJRT tunnel (measured
+                # ~70 ms/window at b128, the whole pipelining win).
                 if staged:
                     B = token_ids.shape[0]
                     st_dt = (
@@ -340,16 +353,16 @@ class ModelRunner:
                         k=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
                         v=tuple(jnp.zeros(st_shape, st_dt) for _ in range(spec.num_layers)),
                     )
-                    (_, staging), toks = jax.lax.scan(
+                    (last, staging), toks = jax.lax.scan(
                         step_staged, (token_ids, staging),
                         jnp.arange(window, dtype=jnp.int32),
                     )
                     cache_out = _flush_staging(cache, staging, meta, window, spec)
-                    return toks, cache_out
-                (_, cache), toks = jax.lax.scan(
+                    return (toks, last), cache_out
+                (last, cache), toks = jax.lax.scan(
                     step_scatter, (token_ids, cache), jnp.arange(window, dtype=jnp.int32)
                 )
-                return toks, cache  # (window, B)
+                return (toks, last), cache  # ((window, B), (B,))
 
             return decode_fn
 
@@ -442,8 +455,8 @@ class ModelRunner:
 
             def local_body(p, t, m, c, k, window, extended):
                 c = KVCache(k=c.k, v=c.v, sc_shards=min(c.sc_shards, 1))
-                toks, c = decode_local(p, t, m, c, k, window, extended)
-                return toks, KVCache(k=c.k, v=c.v, sc_shards=sc_g)
+                out, c = decode_local(p, t, m, c, k, window, extended)
+                return out, KVCache(k=c.k, v=c.v, sc_shards=sc_g)
 
             def decode_dispatch(
                 params, token_ids, meta, cache, key, window, extended
@@ -456,7 +469,7 @@ class ModelRunner:
                         ),
                         mesh=mesh,
                         in_specs=(pspecs, P(), P(), cspecs, P()),
-                        out_specs=(P(), cspecs),
+                        out_specs=((P(), P()), cspecs),
                         check_vma=False,
                     )
                     fn = jax.jit(body, donate_argnums=(3,))
@@ -911,7 +924,7 @@ class ModelRunner:
             out = [toks[i, : len(g)].tolist() for i, g in enumerate(groups)]
         else:
             meta = DecodeMeta(**{k: jnp.asarray(v) for k, v in stacked.items()})
-            tokens, self.cache = self._decode(
+            (tokens, _), self.cache = self._decode(
                 self.params, token_ids, meta, self.cache, keys, window, extended
             )
             toks = np.asarray(tokens)  # (DP, window, B)
@@ -964,13 +977,14 @@ class ModelRunner:
             chained_tokens if chained_tokens is not None else jnp.asarray(host_tokens)
         )
         t_prep = time.perf_counter() - t0
-        tokens, self.cache = self._decode(
+        (tokens, last), self.cache = self._decode(
             self.params, token_ids, meta, self.cache, step_key, window, extended
         )
         return DecodeDispatch(
             seqs=seqs,
             window=window,
             tokens=tokens,
+            last_tokens=last,
             t0=t0,
             prep_s=t_prep,
             speculated=advance > 0,

@@ -164,11 +164,17 @@ class Scheduler:
         self.running.extendleft(reversed(scheduled))
         return scheduled, False, window
 
-    def speculate_next_window(self, seqs: list[Sequence], window: int) -> bool:
-        """Reserve a SECOND fused decode window for the same batch before
-        the first window's tokens are known (pipelined decode,
-        `Config.async_decode`). Returns True only when the next schedule()
-        is provably this same (seqs, window) decode step:
+    def speculate_next_window(
+        self, seqs: list[Sequence], window: int, inflight: int = 1
+    ) -> bool:
+        """Reserve ANOTHER fused decode window for the same batch before
+        the in-flight windows' tokens are known (pipelined decode,
+        `Config.async_decode`). `inflight` is the number of windows already
+        dispatched but not yet postprocessed — their appends are not
+        reflected in the sequences, so every horizon below spans
+        (inflight + 1) windows. Returns True only when the schedule()
+        after those windows land is provably this same (seqs, window)
+        decode step:
 
           - nothing is waiting (the next step cannot be a prefill, and a
             request added later still dispatches after the speculated
@@ -176,16 +182,17 @@ class Scheduler:
             pages safe);
           - the running deque IS `seqs` (no capped-out stragglers whose
             turn it would be, no sequence finished since dispatch);
-          - no sequence can hit max_tokens within EITHER window (so the
-            window size provably repeats). An EOS finish inside the first
-            window is the one unpredictable event, and it is benign: that
-            slot computes one window of garbage that postprocess discards
-            (`is_finished` skip), and its pages are freed only at the
-            first window's postprocess — after the speculated dispatch is
+          - no sequence can hit max_tokens within ANY of the
+            (inflight + 1) windows (so the window size provably repeats).
+            An EOS finish inside an in-flight window is the one
+            unpredictable event, and it is benign: that slot computes up
+            to `inflight` windows of garbage that postprocess discards
+            (`is_finished` skip), and its pages are freed only at that
+            window's postprocess — after the speculated dispatches are
             already enqueued, so device order protects any reuse;
-          - both windows' pages fit in the free pool WITHOUT preemption
-            (speculation never preempts — under pressure it just declines
-            and the next real schedule() applies policy).
+          - all (inflight + 1) windows' pages fit in the free pool WITHOUT
+            preemption (speculation never preempts — under pressure it
+            just declines and the next real schedule() applies policy).
 
         On success the block tables are pre-extended (`may_append` with a
         2-window horizon) so the shifted window's KV writes all have
@@ -199,17 +206,18 @@ class Scheduler:
             a is not b for a, b in zip(self.running, seqs)
         ):
             return False
+        horizon = (inflight + 1) * window
         for s in seqs:
-            if s.max_tokens - s.num_completion_tokens < 2 * window:
+            if s.max_tokens - s.num_completion_tokens < horizon:
                 return False
         bm = self.block_manager
         if (
-            sum(bm.blocks_needed_for_append(s, 2 * window) for s in seqs)
+            sum(bm.blocks_needed_for_append(s, horizon) for s in seqs)
             > bm.num_free_blocks
         ):
             return False
         for s in seqs:
-            bm.may_append(s, 2 * window)
+            bm.may_append(s, horizon)
         return True
 
     def postprocess(self, seqs: list[Sequence], token_ids) -> int:

@@ -132,3 +132,34 @@ def test_block_pressure_declines_speculation(spec_params):
         spec_params, prompts, sp,
         num_kvcache_blocks=8, kvcache_block_size=16,
     )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3])
+def test_depth_sweep_parity(spec_params, depth):
+    """Every pipeline depth must produce the synchronous token stream,
+    including depths deeper than the remaining request lifetime."""
+    prompts = [list(range(1, 9)), [5, 6, 7]]
+    sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+    sync = make_engine(spec_params, False).generate(
+        prompts, sp, use_tqdm=False
+    )
+    piped = make_engine(
+        spec_params, True, async_decode_depth=depth
+    ).generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(sync, piped):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_depth2_chains_multiple_windows(spec_params):
+    """With depth 2 and a long run, the engine must hold two speculated
+    windows in flight (the pending queue reaches the configured depth)."""
+    eng = make_engine(spec_params, True, async_decode_depth=2)
+    eng.add_request(
+        [1, 2, 3],
+        SamplingParams(temperature=0.0, max_tokens=48, ignore_eos=True),
+    )
+    max_q = 0
+    while not eng.is_finished():
+        eng.step()
+        max_q = max(max_q, len(eng._pending))
+    assert max_q == 2, f"pipeline never reached depth 2 (max {max_q})"
