@@ -121,3 +121,43 @@ def test_decode_kernel_bf16_io():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_decode_kernel_int8_inpage_scales():
+    """int8 pages with in-page scale heads vs the oracle on DEQUANTIZED
+    pages: covers the dequant-fold paths (per-page K scale folded into q,
+    per-page V scale folded into the output partial) that only run on the
+    has_scale kernel branch."""
+    from lightvllm_tpu.ops.kv_cache import encode_page_scales, truncate_scale
+
+    scale = 128**-0.5
+    B, Hq, Hkv, D, BSZ = 3, 8, 4, 128, 16
+    ctx_lens = [5, 33, 48]
+    q, kp, vp, bt, ctx = make_case(
+        jax.random.PRNGKey(5), B, Hq, Hkv, D, BSZ, 64, ctx_lens
+    )
+    # Per-(page, head, channel) symmetric int8 quantization, bf16 scales
+    # (the engine stores truncate_scale'd values so in-page bytes
+    # dequantize exactly).
+    amax = jnp.max(jnp.abs(kp), axis=2) + 1e-6  # (NB, Hkv, D)
+    sck = truncate_scale(amax / 127.0)
+    amax_v = jnp.max(jnp.abs(vp), axis=2) + 1e-6
+    scv = truncate_scale(amax_v / 127.0)
+    kq = jnp.clip(jnp.round(kp / sck[:, :, None, :]), -127, 127).astype(jnp.int8)
+    vq = jnp.clip(jnp.round(vp / scv[:, :, None, :]), -127, 127).astype(jnp.int8)
+    # Oracle runs on the exactly-dequantized f32 pages.
+    k_deq = kq.astype(jnp.float32) * sck[:, :, None, :]
+    v_deq = vq.astype(jnp.float32) * scv[:, :, None, :]
+    want = oracle(q, k_deq, v_deq, bt, ctx, BSZ, scale)
+    kq_paged = jnp.concatenate(
+        [kq, encode_page_scales(sck, scv, BSZ)], axis=1
+    )  # (NB, Hkv + Sh, BSZ, D)
+    got = paged_flash_decode(
+        q, kq_paged, vq, bt, ctx, sc_shards=1, block_size=BSZ, scale=scale,
+        interpret=True,
+    )
+    # Kernel matmuls run in bf16 (int8 payload exact; q*sc_k rounded to
+    # bf16; V rescale in f32): tolerance reflects bf16 rounding only.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
