@@ -21,10 +21,7 @@ NORTH_STAR_TOK_S = 2000.0
 
 
 def main():
-    from lightvllm_tpu.config import Config
-    from lightvllm_tpu.engine.runner import ModelRunner
-    from lightvllm_tpu.engine.scheduler import Scheduler
-    from lightvllm_tpu.engine.sequence import Sequence
+    from lightvllm_tpu.engine.llm_engine import LLMEngine
     from lightvllm_tpu.models import qwen3
     from lightvllm_tpu.sampling_params import SamplingParams
 
@@ -74,7 +71,15 @@ def main():
     params_box = [
         qwen3.init_params(spec, jax.random.PRNGKey(0), quantization=quant)
     ]
-    config = Config(
+    # The bench drives the real LLMEngine.step loop (one pipelining
+    # implementation — the engine's deque of speculated windows; VERDICT r3
+    # review: a hand-rolled copy here had already drifted). BENCH_ASYNC=0
+    # disables speculation for A/B; BENCH_DEPTH sets the pipeline depth.
+    async_on = os.environ.get("BENCH_ASYNC", "1") != "0"
+    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    eng = LLMEngine(
+        spec=spec,
+        params=params_box.pop(),
         decode_window=window,
         max_num_seqs=max(batch, 8),
         max_model_len=2048,
@@ -86,6 +91,8 @@ def main():
         decode_kv_mode=kv_mode,
         hbm_memory_utilization=hbm_util,
         eos=-1,
+        async_decode=async_on,
+        async_decode_depth=depth,
         # Steady-state throughput bench: compile only the shapes actually
         # timed (the first prefill + decode window below). The full warmup
         # grid + AOT sizing probe are production-init features measured by
@@ -93,86 +100,38 @@ def main():
         warmup_shapes=False,
         kv_size_probe=False,
     )
-    runner = ModelRunner(config, spec, params_box.pop())
-    sched = Scheduler(config)
     rng = __import__("numpy").random.default_rng(0)
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=(decode_steps + 4) * window, ignore_eos=True
+    )
     for _ in range(batch):
-        toks = rng.integers(1, spec.vocab_size, size=prompt_len).tolist()
-        sched.add(
-            Sequence(
-                toks,
-                SamplingParams(
-                    temperature=0.0, max_tokens=(decode_steps + 4) * window, ignore_eos=True
-                ),
-                block_size=config.kvcache_block_size,
-            )
+        eng.add_request(
+            rng.integers(1, spec.vocab_size, size=prompt_len).tolist(), sp
         )
 
     # Prefill (may take several scheduler steps) + warmup decode window.
     prefill_s = 0.0
     prefill_tokens = 0
     while True:
-        seqs, is_prefill, window = sched.schedule()
         t0 = time.perf_counter()
-        tokens = runner.run(seqs, is_prefill, window)
-        jax.block_until_ready(runner.cache.k)
+        _, n, is_prefill = eng.step()
+        jax.block_until_ready(eng.model_runner.cache.k)
         dt = time.perf_counter() - t0
-        sched.postprocess(seqs, tokens)
         if is_prefill:
             prefill_s += dt
-            prefill_tokens += sum(len(s) for s in seqs)
+            prefill_tokens += n
         else:
             break  # first decode window done (compiled)
-
-    # Timed decode — pipelined like LLMEngine.step: up to BENCH_DEPTH
-    # further windows are dispatched (each fed by the previous window's
-    # device-resident last token row) before the oldest is fetched, so the
-    # device never idles on host postprocess + input prep and (depth >= 2)
-    # the sampled-token D2H transfer overlaps the next window's compute.
-    # BENCH_ASYNC=0 reverts to the fetch-then-dispatch loop for A/B.
-    async_on = os.environ.get("BENCH_ASYNC", "1") != "0"
-    depth = int(os.environ.get("BENCH_DEPTH", 2))
-    from collections import deque
 
     t0 = time.perf_counter()
     done = 0
     steps = 0
-    q: deque = deque()
-    dispatched = 0
-    while steps < decode_steps and not sched.is_finished():
-        if q and all(s.is_finished for s in q[0].seqs):
-            q.clear()
-        if not q:
-            seqs, is_prefill, window = sched.schedule()
-            assert not is_prefill
-            q.append(runner.dispatch_decode(seqs, window))
-            dispatched += 1
-        while (
-            async_on
-            and len(q) <= depth
-            and dispatched < decode_steps
-            and sched.speculate_next_window(
-                q[-1].seqs, q[-1].window, inflight=len(q)
-            )
-        ):
-            last = q[-1]
-            q.append(
-                runner.dispatch_decode(
-                    last.seqs,
-                    last.window,
-                    advance=len(q) * last.window,
-                    chained_tokens=last.last_tokens,
-                )
-            )
-            dispatched += 1
-        pending = q.popleft()
-        tokens = runner.fetch_decode(pending)
-        done += sched.postprocess(pending.seqs, tokens)
+    while steps < decode_steps and not eng.is_finished():
+        _, n, is_prefill = eng.step()
+        assert not is_prefill
+        done += n
         steps += 1
-    while q:
-        pending = q.popleft()
-        done += sched.postprocess(pending.seqs, runner.fetch_decode(pending))
-    jax.block_until_ready(runner.cache.k)
+    jax.block_until_ready(eng.model_runner.cache.k)
     decode_s = time.perf_counter() - t0
 
     tok_per_s = done / decode_s

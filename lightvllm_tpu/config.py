@@ -56,12 +56,13 @@ class Config:
     # synchronous path.
     async_decode: bool = True
     # How many speculated windows may be in flight beyond the one being
-    # fetched. Depth 1 hides host postprocess + input prep behind the
-    # device step; depth 2 additionally takes the sampled-token D2H
-    # transfer latency off the cycle critical path (measured ~50 ms/window
-    # over the PJRT tunnel at b128 — the whole gap between device step
-    # time and engine throughput). Each extra level costs at most one more
-    # discarded garbage window per unpredicted EOS finish.
+    # fetched (0 disables speculation — the synchronous A/B baseline).
+    # Depth 1 hides host postprocess + input prep behind the device step;
+    # depth 2 additionally takes the sampled-token D2H transfer latency
+    # off the cycle critical path (measured ~50 ms/window over the PJRT
+    # tunnel at b128 — the whole gap between device step time and engine
+    # throughput). Each extra level costs at most one more discarded
+    # garbage window per unpredicted EOS finish.
     async_decode_depth: int = 2
     # KV write strategy for decode: "staged" buffers the window's K/V in a
     # dense staging buffer (vectorized writes + one per-window Pallas flush);

@@ -34,8 +34,12 @@ class LLMEngine:
         }
         self.config = Config(model=model, **config_kwargs)
         self.tokenizer = None
-        params = kwargs.get("params")
-        spec = kwargs.get("spec")
+        # pop, not get: kwargs must not keep a second reference to the
+        # weight tree alive through ModelRunner construction (the runner
+        # rebinds params during lm-head quantization / projection fusion —
+        # a lingering ref doubles weight HBM at 8B).
+        params = kwargs.pop("params", None)
+        spec = kwargs.pop("spec", None)
         if model:
             from transformers import AutoTokenizer
 
@@ -99,7 +103,9 @@ class LLMEngine:
         self._async_decode = (
             self.config.async_decode and self.config.data_parallel_size == 1
         )
-        self._async_depth = max(1, self.config.async_decode_depth)
+        # depth 0 disables speculation entirely (dispatch/fetch with no
+        # window chained ahead — the synchronous A/B baseline).
+        self._async_depth = self.config.async_decode_depth
 
     # ---------------- public API (mirrors the reference surface) ---------
 
@@ -170,11 +176,16 @@ class LLMEngine:
             )
         pending = q.popleft()
         token_ids = self.model_runner.fetch_decode(pending)
+        # Report only sequences that finish at THIS postprocess: later
+        # in-flight windows share the same seqs list, and re-emitting an
+        # already-finished sequence would deliver its completion (and tick
+        # generate()'s progress bar) once per pipeline level.
+        was_finished = [s.is_finished for s in pending.seqs]
         appended = self.scheduler.postprocess(pending.seqs, token_ids)
         finished = [
             (s.seq_id, s.completion_token_ids)
-            for s in pending.seqs
-            if s.is_finished
+            for s, was in zip(pending.seqs, was_finished)
+            if s.is_finished and not was
         ]
         self._stats["decode_tokens"] += appended
         self._stats["decode_s"] += time.perf_counter() - t0

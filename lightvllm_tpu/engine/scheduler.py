@@ -194,9 +194,9 @@ class Scheduler:
             preemption (speculation never preempts — under pressure it
             just declines and the next real schedule() applies policy).
 
-        On success the block tables are pre-extended (`may_append` with a
-        2-window horizon) so the shifted window's KV writes all have
-        physical pages. Hash registration of blocks that fill during the
+        On success the block tables are pre-extended (`may_append` with an
+        (inflight + 1)-window horizon) so the shifted window's KV writes
+        all have physical pages. Hash registration of blocks that fill during the
         first window self-defers: their token ids are not known yet, and
         `may_append` only registers token-complete blocks, so the next
         non-speculative schedule registers them."""
