@@ -84,6 +84,47 @@ def _pick_tile(total: int, target: int) -> int:
     return t
 
 
+def _plan_tiles(Tp, TT, groups, gsp, out, tile_o, tile_k, gs):
+    """Pick the output tile TO and contraction tile KG (in groups).
+
+    Every choice keeps the double-buffered weight window + f32 accumulator
+    inside VMEM: the decode fast path (TO = out, x tile read exactly once)
+    additionally requires ONE group's full-width weight slice to fit —
+    without that guard the 8B int8 LM head (gsp=512, out=153600) compiled
+    a 75 MB window that blew the 128 MB VMEM budget at T <= 13 (prefill
+    last-token logits / tiny decode batches)."""
+    if tile_o:
+        TO = tile_o
+    elif (
+        Tp <= 128
+        and Tp * out * 4 <= 8 * 2**20
+        and gsp * out <= 24 * 2**20
+    ):
+        # Decode mode: accumulate the whole output row block in VMEM so the
+        # x tile is read exactly once (kills the +24% re-read tax).
+        TO = out
+    else:
+        # Largest divisor of `out` (multiple of the 128 lane tile) whose
+        # f32 accumulator and 1-group weight tile both fit comfortably in
+        # VMEM: bigger TO = out/TO fewer x re-reads and fewer grid steps.
+        # (The old fixed TO=128/256/512 made the 151936-vocab LM head run
+        # 1187 output tiles — measured 4x its bandwidth floor.) Capped at
+        # 2048: wider tiles save <4% more grid steps while ballooning the
+        # Mosaic unroll (compile blowup risk over the remote-AOT tunnel).
+        acc_cap = (8 * 2**20) // (4 * TT)
+        w_cap = max(128, (4 * 2**20) // max(1, gsp))
+        lim = max(128, min(acc_cap, w_cap, out, 2048))
+        TO = 128
+        for d in range(128, lim + 1, 128):
+            if out % d == 0:
+                TO = d
+    assert out % TO == 0 and TO % 128 == 0, f"out {out} tile {TO}"
+    # Bound the weight tile to ~6 MB so double buffering fits VMEM.
+    kg_cap = max(1, (6 * 2**20) // max(1, gsp * TO))
+    KG = _pick_tile(groups, min(max(1, tile_k // gs), kg_cap))
+    return TO, KG
+
+
 @functools.partial(
     jax.jit, static_argnames=("bits", "tile_t", "tile_o", "tile_k", "interpret")
 )
@@ -112,31 +153,7 @@ def quant_matmul_pallas(
     if Tp != T:
         xg = jnp.pad(xg, ((0, 0), (0, Tp - T), (0, 0)))
 
-    if tile_o:
-        TO = tile_o
-    elif Tp <= 128 and Tp * out * 4 <= 8 * 2**20:
-        # Decode mode: accumulate the whole output row block in VMEM so the
-        # x tile is read exactly once (kills the +24% re-read tax).
-        TO = out
-    else:
-        # Largest divisor of `out` (multiple of the 128 lane tile) whose
-        # f32 accumulator and 1-group weight tile both fit comfortably in
-        # VMEM: bigger TO = out/TO fewer x re-reads and fewer grid steps.
-        # (The old fixed TO=128/256/512 made the 151936-vocab LM head run
-        # 1187 output tiles — measured 4x its bandwidth floor.) Capped at
-        # 2048: wider tiles save <4% more grid steps while ballooning the
-        # Mosaic unroll (compile blowup risk over the remote-AOT tunnel).
-        acc_cap = (8 * 2**20) // (4 * TT)
-        w_cap = max(128, (4 * 2**20) // max(1, gsp))
-        lim = max(128, min(acc_cap, w_cap, out, 2048))
-        TO = 128
-        for d in range(128, lim + 1, 128):
-            if out % d == 0:
-                TO = d
-    assert out % TO == 0 and TO % 128 == 0, f"out {out} tile {TO}"
-    # Bound the weight tile to ~6 MB so double buffering fits VMEM.
-    kg_cap = max(1, (6 * 2**20) // max(1, gsp * TO))
-    KG = _pick_tile(groups, min(max(1, tile_k // gs), kg_cap))
+    TO, KG = _plan_tiles(Tp, TT, groups, gsp, out, tile_o, tile_k, gs)
     nk = groups // KG
 
     grid = (Tp // TT, out // TO, nk)

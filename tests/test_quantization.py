@@ -81,3 +81,34 @@ def test_matmul_dispatch_plain_and_quant():
         np.asarray(plain)
     ).max()
     assert rel < 0.02, rel
+
+
+def test_quant_matmul_tile_plan_fits_vmem():
+    """Tile planning must keep the double-buffered weight window inside
+    VMEM for every production shape — including the 8B int8 LM head
+    (gsp=512, out=153600), where the decode fast path (TO=out) used to
+    compile a 75 MB window at T <= 13 and blow the 128 MB budget."""
+    from lightvllm_tpu.ops.pallas.quant_matmul import _plan_tiles, _pick_tile
+
+    VMEM = 128 * 2**20
+    shapes = [
+        # (T, groups, gsp, out, gs) — gsp == stored rows (packed for int4)
+        (8, 8, 512, 153600, 512),     # 8B int8 LM head, prefill last-tokens
+        (8, 32, 128, 152064, 128),    # 0.6B tied head, tiny decode batch
+        (32, 32, 128, 12288, 128),    # 8B ffn projection, decode
+        (256, 32, 128, 12288, 128),   # prefill projection
+        (8, 32, 64, 6144, 128),       # int4-packed qkv, tiny batch
+    ]
+    for T, groups, gsp, out, gs in shapes:
+        TT = _pick_tile(-(-T // 8) * 8, 256)
+        Tp = -(-T // TT) * TT
+        TO, KG = _plan_tiles(Tp, TT, groups, gsp, out, 0, 2048, gs)
+        assert out % TO == 0 and TO % 128 == 0
+        assert groups % KG == 0
+        w_window = KG * gsp * TO          # int8 bytes per weight tile
+        acc = TT * TO * 4                 # f32 accumulator scratch
+        x_tile = KG * TT * gs * 4
+        assert 2 * (w_window + x_tile) + acc < VMEM // 2, (
+            f"tile plan exceeds VMEM headroom: {(T, groups, gsp, out)} -> "
+            f"TO={TO} KG={KG} ({2 * (w_window + x_tile) + acc} bytes)"
+        )
