@@ -217,10 +217,20 @@ class ModelRunner:
         attn_impl = config.attention_impl
         if attn_impl == "auto":
             # The Pallas kernels target real TPUs (the CPU test backend uses
-            # the jnp oracle path) and need lane-aligned head_dim.
+            # the jnp oracle path) and need lane-aligned head_dim. Under a
+            # GSPMD mesh they also need LOCAL shard views: a pallas_call is
+            # a manual-layout custom call XLA's partitioner cannot split, so
+            # global-view kernels would trip their sc_shards guards (int8)
+            # or force full replication. GSPMD-partitioned steps therefore
+            # use the partitionable jnp oracle path; tp_mode="shard_map"
+            # decode runs the Pallas kernels on per-rank local views.
             kernel_ok = spec.head_dim % 128 == 0
             on_tpu = jax.devices()[0].platform != "cpu"
-            attn_impl = "pallas" if (on_tpu and kernel_ok) else "jnp"
+            base = "pallas" if (on_tpu and kernel_ok) else "jnp"
+            attn_impl = base if self.mesh is None else "jnp"
+            sm_attn_impl = base  # shard_map decode body: local views
+        else:
+            sm_attn_impl = attn_impl
         self.attn_impl = attn_impl
 
         def prefill_fn(params, token_ids, meta, cache, key, extended):
@@ -238,12 +248,12 @@ class ModelRunner:
 
         staged = config.decode_kv_mode == "staged"
 
-        def _flush_staging(cache, staging, meta, window, spec=spec):
+        def _flush_staging(cache, staging, meta, window, spec=spec, impl=None):
             """staging -> pages, once per window. Pallas aligned-DMA flush on
             TPU; scatter fallback on the CPU/jnp path (still once per window
             with all W rows, not once per step)."""
             start_pos = meta.positions  # (B,) < 0 rows are padding: skipped
-            if attn_impl == "pallas":
+            if (impl or attn_impl) == "pallas":
                 from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
 
                 k_list, v_list = list(cache.k), list(cache.v)
@@ -282,11 +292,15 @@ class ModelRunner:
                 cache = write_kv_layer(cache, l, k_new, v_new, slots)
             return cache
 
-        def make_decode_fn(spec, tp_axis=None):
+        def make_decode_fn(spec, tp_axis=None, impl=None):
             """Factory: the fused-window decode step. With tp_axis set the
             body runs INSIDE shard_map over the mesh "model" axis — spec
             carries per-shard head/ffn counts and the model places psum /
-            all_gather collectives explicitly (config.tp_mode="shard_map")."""
+            all_gather collectives explicitly (config.tp_mode="shard_map").
+            `impl` overrides the attention/flush implementation: the
+            shard_map body sees LOCAL views, so it may run the Pallas
+            kernels even when the GSPMD paths must stay on jnp."""
+            impl = impl or attn_impl
 
             def decode_fn(params, token_ids, meta, cache, key, window, extended):
                 """Fused n-step decode: the sampled-token feedback loop stays
@@ -303,7 +317,7 @@ class ModelRunner:
                     tokens, staging = carry
                     logits, staging = qwen3.forward_decode_staged(
                         params, spec, tokens, meta, cache, staging, s, bs,
-                        attn_impl=attn_impl, tp_axis=tp_axis,
+                        attn_impl=impl, tp_axis=tp_axis,
                     )
                     nxt = sample(
                         logits,
@@ -326,7 +340,7 @@ class ModelRunner:
                     )
                     logits, cache = qwen3.forward_decode(
                         params, spec, tokens, stepmeta, cache, bs,
-                        attn_impl=attn_impl, tp_axis=tp_axis,
+                        attn_impl=impl, tp_axis=tp_axis,
                     )
                     nxt = sample(
                         logits,
@@ -357,7 +371,7 @@ class ModelRunner:
                         step_staged, (token_ids, staging),
                         jnp.arange(window, dtype=jnp.int32),
                     )
-                    cache_out = _flush_staging(cache, staging, meta, window, spec)
+                    cache_out = _flush_staging(cache, staging, meta, window, spec, impl)
                     return (toks, last), cache_out
                 (last, cache), toks = jax.lax.scan(
                     step_scatter, (token_ids, cache), jnp.arange(window, dtype=jnp.int32)
@@ -440,7 +454,9 @@ class ModelRunner:
                 # the local split uses the unfused layout.
                 tp_shards=1,
             )
-            decode_local = make_decode_fn(spec_local, tp_axis="model")
+            decode_local = make_decode_fn(
+                spec_local, tp_axis="model", impl=sm_attn_impl
+            )
             pspecs = param_specs(params)
             _cs = kv_cache_specs()
             # In-page int8 scales ride the K arrays' head axis (shard-

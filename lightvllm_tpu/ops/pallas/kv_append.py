@@ -41,7 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lightvllm_tpu.ops.kv_cache import KV_INT8_MARGIN, scale_plane_rows
+from lightvllm_tpu.ops.kv_cache import (
+    KV_INT8_MARGIN,
+    scale_plane_rows,
+    truncate_scale,
+)
 from lightvllm_tpu.ops.pallas.decode_attention import decode_inpage_scales
 
 
@@ -216,12 +220,11 @@ def _flush_kernel(
                     absmax = jnp.max(
                         jnp.where(take_row, jnp.abs(shifted), 0.0), axis=1
                     )  # (Hkv, D)
-                    bits = jax.lax.bitcast_convert_type(
-                        absmax * (KV_INT8_MARGIN / 127.0), jnp.int32
-                    )
-                    fresh = jax.lax.bitcast_convert_type(
-                        bits & jnp.int32(-65536), jnp.float32
-                    )  # bf16-truncated (matches ops.kv_cache.truncate_scale)
+                    # ONE truncation definition: the kernel must quantize
+                    # with exactly the scale the jnp oracle / loader uses
+                    # (bitcast ops are Mosaic-native, so the shared helper
+                    # works inside the kernel).
+                    fresh = truncate_scale(absmax * (KV_INT8_MARGIN / 127.0))
                     return jnp.where(row0 == 0, fresh, existing[0])
 
                 sel_k = select_scale(shifted_k, ex_k)

@@ -36,9 +36,16 @@ def _filter_top_k_fast(
     lax.top_k(TOP_K_FAST_CAP) pass finds each row's k-th largest logit and
     everything below it masks out. Rows tied exactly at the threshold are
     all kept (the argsort path breaks such ties arbitrarily; for continuous
-    logits ties have measure zero)."""
-    vals = jax.lax.top_k(logits, TOP_K_FAST_CAP)[0]  # (B, cap) descending
-    k = jnp.clip(top_ks, 1, TOP_K_FAST_CAP)
+    logits ties have measure zero).
+
+    Precondition (the caller routes on it — ModelRunner._sample_mode): every
+    requested k must be <= TOP_K_FAST_CAP; larger k values are clamped to
+    the cap here, which is a DIFFERENT distribution — use the argsort path
+    (top_ps not None) for k beyond the cap. Small vocabularies (< cap)
+    reduce the scan width so tiny test models don't trace-fail."""
+    cap = min(TOP_K_FAST_CAP, logits.shape[-1])
+    vals = jax.lax.top_k(logits, cap)[0]  # (B, cap) descending
+    k = jnp.clip(top_ks, 1, cap)
     thresh = jnp.take_along_axis(vals, (k - 1)[:, None], axis=1)  # (B, 1)
     keep = (logits >= thresh) | (top_ks <= 0)[:, None]
     return jnp.where(keep, logits, NEG_INF)
