@@ -69,10 +69,13 @@ class Config:
     # "scatter" is the per-step XLA scatter (serial on TPU, ~3.5 ms/step at
     # b64 — kept for A/B and as a fallback).
     decode_kv_mode: str = "staged"
-    # TP collective placement for decode: "gspmd" (XLA-inferred, default) or
-    # "shard_map" (manual psum/all_gather placement inside the fused window
-    # — the hook for collective/compute overlap scheduling; requires dp=1).
-    tp_mode: str = "gspmd"
+    # TP collective placement: "shard_map" runs prefill and the fused decode
+    # window inside shard_map over the mesh "model" axis — manual
+    # psum/all_gather placement AND Pallas attention kernels on per-rank
+    # local views (requires dp=1, jit). "gspmd" lets XLA infer collectives
+    # but can only run the partitionable jnp attention oracle under a mesh.
+    # "auto" (default) picks shard_map whenever it is available.
+    tp_mode: str = "auto"
     compilation_cache_dir: str = "~/.cache/lightvllm_tpu/xla"  # "" disables
     warmup_shapes: bool = True  # pre-compile decode (batch, window) shapes
     warmup_extended: bool = True  # also warm the top-k/top-p/seeded variants
@@ -97,7 +100,7 @@ class Config:
         assert self.attention_impl in ("auto", "jnp", "pallas")
         assert self.kernel_backend in ("native", "pallas")
         assert self.decode_kv_mode in ("staged", "scatter")
-        assert self.tp_mode in ("gspmd", "shard_map")
+        assert self.tp_mode in ("auto", "gspmd", "shard_map")
         if self.model:
             if self.hf_config is None:
                 from transformers import AutoConfig

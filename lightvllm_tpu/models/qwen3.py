@@ -399,6 +399,7 @@ def hidden_states_prefill(
     block_size: int,
     attn_impl: str = "jnp",  # "jnp" | "pallas"
     page_aligned_kv: bool = False,  # caller guarantees per-seq block-padded
+    tp_axis: str | None = None,  # set inside shard_map: manual-collective TP
 ) -> tuple[jnp.ndarray, KVCache]:
     """Full per-token hidden states (T, E) — serving prefill and the
     teacher-forced perplexity harness (evals.py) share this path.
@@ -426,7 +427,7 @@ def hidden_states_prefill(
 
     return _decoder_stack(
         params, spec, token_ids, positions, cache, meta.slot_mapping, attn_fn,
-        write_fn=write_fn,
+        write_fn=write_fn, tp_axis=tp_axis,
     )
 
 
@@ -439,15 +440,16 @@ def forward_prefill(
     block_size: int,
     attn_impl: str = "jnp",  # "jnp" | "pallas"
     page_aligned_kv: bool = False,
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Returns (last-token logits (B, V), updated cache)."""
     h, cache = hidden_states_prefill(
         params, spec, token_ids, meta, cache, block_size, attn_impl,
-        page_aligned_kv=page_aligned_kv,
+        page_aligned_kv=page_aligned_kv, tp_axis=tp_axis,
     )
     T = token_ids.shape[0]
     h_last = h[jnp.clip(meta.last_flat_idx, 0, T - 1)]  # (B, E)
-    return compute_logits(params, spec, h_last), cache
+    return compute_logits(params, spec, h_last, tp_axis=tp_axis), cache
 
 
 def forward_decode(

@@ -140,8 +140,12 @@ def test_tp2_kv_quant_matrix(spec_and_params, kv_dtype, quant, tp_mode):
     a single-device engine with the same kv/weight dtypes exactly."""
     spec, params = spec_and_params
     if quant is not None:
+        # group_size=32 keeps the tiny row-parallel weights' quant-group
+        # axis divisible by the mesh, matching real checkpoints (which have
+        # >= 32 groups). Single-group packed int4 cannot row-split under
+        # shard_map at all (see test_int4_single_group_auto_falls_back).
         params = qwen3.init_params(
-            spec, jax.random.PRNGKey(0), quantization=quant
+            spec, jax.random.PRNGKey(0), quantization=quant, group_size=32
         )
     prompts = [[1, 5, 9, 2, 7], [3, 1, 4, 1, 5]]
 
@@ -188,6 +192,38 @@ def test_tp2_dp2_int8_kv_int4_weights(spec_and_params):
     ref = run_greedy(build(1, 1), prompts)
     out = run_greedy(build(2, 2), prompts)
     assert out == ref
+
+
+def test_int4_single_group_auto_falls_back(spec_and_params):
+    """Packed int4 with a single quant group cannot row-split under
+    shard_map (split-half nibble packing pairs element j with j + gs//2, so
+    a contiguous packed-row split scrambles the pairing — silently wrong
+    math, found in r4). tp_mode="auto" must fall back to GSPMD and still
+    match single-device tokens; explicit "shard_map" must refuse."""
+    spec, _ = spec_and_params
+    # Default group_size covers the whole (tiny) in_features: groups == 1.
+    params = qwen3.init_params(spec, jax.random.PRNGKey(0), quantization="int4")
+    prompts = [[1, 5, 9, 2, 7], [3, 1, 4, 1, 5]]
+
+    def build(tp, mode):
+        return LLMEngine(
+            spec=spec,
+            params=params,
+            kvcache_block_size=BS,
+            num_kvcache_blocks=64,
+            max_model_len=128,
+            max_num_seqs=4,
+            eos=127,
+            tensor_parallel_size=tp,
+            tp_mode=mode,
+        )
+
+    ref = run_greedy(build(1, "gspmd"), prompts)
+    auto_eng = build(2, "auto")
+    assert auto_eng.model_runner.tp_mode == "gspmd"
+    assert run_greedy(auto_eng, prompts) == ref
+    with pytest.raises(AssertionError, match="shard_map"):
+        build(2, "shard_map")
 
 
 def test_tp2_shard_map_quantized_int8(spec_and_params):
