@@ -54,7 +54,17 @@ def main():
                    num_kv_heads=8, intermediate_size=9728, tie=True),
         "8b": dict(num_layers=36, hidden_size=4096, num_q_heads=32,
                    num_kv_heads=8, intermediate_size=12288, tie=False),
+        # BASELINE row 6. NOTE single-chip memory plan: 32B int4 weights
+        # are ~16.3 GB — they do NOT fit one 16 GB v5e chip; serving needs
+        # tp >= 2 (weights+KV shard on "model"). The single-chip bench can
+        # only run this arch with a reduced layer count for kernel-shape
+        # validation; the scaling artifact (tools/scaling_study.py
+        # --model 32b) carries the projected multi-chip numbers.
+        "32b": dict(num_layers=64, hidden_size=5120, num_q_heads=64,
+                    num_kv_heads=8, intermediate_size=25600, tie=False),
     }[model]
+    if (n_layers := os.environ.get("BENCH_LAYERS")):
+        archs["num_layers"] = int(n_layers)
     spec = qwen3.ModelSpec(
         num_layers=archs["num_layers"],
         hidden_size=archs["hidden_size"],
@@ -113,18 +123,31 @@ def main():
         )
 
     # Prefill (may take several scheduler steps) + warmup decode window.
+    # p50 TTFT (a named north-star metric, BASELINE.md:21): per-request
+    # time from submission to its first sampled token. The first prefill
+    # step pays the one-time jit compile, so with the persistent
+    # compilation cache warm this is the serving p50; cold-cache runs
+    # inflate it by the compile time (visible as prefill_s >> tokens/rate).
     prefill_s = 0.0
     prefill_tokens = 0
+    t_submit = time.perf_counter()
+    ttft: dict[int, float] = {}
     while True:
         t0 = time.perf_counter()
         _, n, is_prefill = eng.step()
         jax.block_until_ready(eng.model_runner.cache.k)
         dt = time.perf_counter() - t0
         if is_prefill:
+            now = time.perf_counter()
+            for s in eng.scheduler.running:
+                if s.num_completion_tokens == 1 and s.seq_id not in ttft:
+                    ttft[s.seq_id] = now - t_submit
             prefill_s += dt
             prefill_tokens += n
         else:
             break  # first decode window done (compiled)
+    ttfts = sorted(ttft.values())
+    p50_ttft = ttfts[len(ttfts) // 2] if ttfts else 0.0
 
     t0 = time.perf_counter()
     done = 0
@@ -143,6 +166,12 @@ def main():
         "value": round(tok_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_per_s / NORTH_STAR_TOK_S, 3),
+        # p50 time-to-first-token across the batch, INCLUDING the first
+        # step's jit compile (cold start); prefill_tok_s is the steady
+        # prefill rate over the whole admission phase.
+        "p50_ttft_s": round(p50_ttft, 3),
+        "prefill_tok_s": round(prefill_tokens / prefill_s, 1) if prefill_s else 0.0,
+        "prompt_len": prompt_len,
     }
     print(json.dumps(result))
 

@@ -34,7 +34,7 @@ from lightvllm_tpu.ops.kv_cache import (
     alloc_kv_cache,
     kv_cache_bytes_per_block,
 )
-from lightvllm_tpu.ops.sampling import sample
+from lightvllm_tpu.ops.sampling import sample, sample_sharded
 from lightvllm_tpu.utils.metadata import DecodeMeta, PrefillMeta
 
 PAD_SLOT_NP = np.iinfo(np.int32).max
@@ -296,17 +296,32 @@ class ModelRunner:
             impl = impl or attn_impl
 
             def prefill_fn(params, token_ids, meta, cache, key, extended):
+                # Temperature/greedy batches under shard_map sample each
+                # rank's local vocab shard and reduce only per-rank winners
+                # (ops.sampling.sample_sharded) — the (B, V) f32 logits
+                # all_gather is the decode step's largest collective
+                # (tools/scaling_study.py). Extended modes (top-k/p/seeded)
+                # keep the gather.
+                sharded = tp_axis is not None and (
+                    not extended or extended == "none"
+                )
                 logits, cache = qwen3.forward_prefill(
                     params, spec, token_ids, meta, cache, bs, attn_impl=impl,
                     page_aligned_kv=True,  # prepare_prefill block-pads regions
-                    tp_axis=tp_axis,
+                    tp_axis=tp_axis, gather_logits=not sharded,
                 )
-                tokens = sample(
-                    logits,
-                    meta.temperatures,
-                    key,
-                    **_sample_kwargs(meta, extended, meta.ctx_lens),
-                )
+                if sharded:
+                    tokens = sample_sharded(
+                        logits, meta.temperatures, key, tp_axis,
+                        spec.vocab_size,
+                    )
+                else:
+                    tokens = sample(
+                        logits,
+                        meta.temperatures,
+                        key,
+                        **_sample_kwargs(meta, extended, meta.ctx_lens),
+                    )
                 return tokens, cache
 
             return prefill_fn
@@ -380,18 +395,36 @@ class ModelRunner:
                 a tail, and one flush per window writes the pages (kills the
                 per-step serial scatter, VERDICT r1 missing#1)."""
 
-                def step_staged(carry, s):
-                    tokens, staging = carry
-                    logits, staging = qwen3.forward_decode_staged(
-                        params, spec, tokens, meta, cache, staging, s, bs,
-                        attn_impl=impl, tp_axis=tp_axis,
-                    )
-                    nxt = sample(
+                # Temperature/greedy batches under shard_map sample each
+                # rank's local vocab shard and reduce only per-rank winners
+                # (see make_prefill_fn; kills the per-step (B, V) f32 logits
+                # all_gather). Extended modes keep the gather.
+                sharded = tp_axis is not None and (
+                    not extended or extended == "none"
+                )
+
+                def _sample_step(logits, s):
+                    if sharded:
+                        return sample_sharded(
+                            logits, meta.temperatures,
+                            jax.random.fold_in(key, s), tp_axis,
+                            spec.vocab_size,
+                        )
+                    return sample(
                         logits,
                         meta.temperatures,
                         jax.random.fold_in(key, s),
                         **_sample_kwargs(meta, extended, meta.positions + s + 1),
                     )
+
+                def step_staged(carry, s):
+                    tokens, staging = carry
+                    logits, staging = qwen3.forward_decode_staged(
+                        params, spec, tokens, meta, cache, staging, s, bs,
+                        attn_impl=impl, tp_axis=tp_axis,
+                        gather_logits=not sharded,
+                    )
+                    nxt = _sample_step(logits, s)
                     return (nxt, staging), nxt
 
                 def step_scatter(carry, s):
@@ -408,13 +441,9 @@ class ModelRunner:
                     logits, cache = qwen3.forward_decode(
                         params, spec, tokens, stepmeta, cache, bs,
                         attn_impl=impl, tp_axis=tp_axis,
+                        gather_logits=not sharded,
                     )
-                    nxt = sample(
-                        logits,
-                        meta.temperatures,
-                        jax.random.fold_in(key, s),
-                        **_sample_kwargs(meta, extended, meta.positions + s + 1),
-                    )
+                    nxt = _sample_step(logits, s)
                     return (nxt, cache), nxt
 
                 # The scan carry's token slot IS the window's last sampled

@@ -222,3 +222,47 @@ def test_engine_end_to_end_top_p(tmp_path):
         use_tqdm=False,
     )
     assert outs2[0]["token_ids"] == outs[0]["token_ids"]
+
+
+def test_sample_sharded_matches_argmax_and_samples_validly():
+    """Distributed sampler (shard_map, vocab-sharded logits): greedy rows
+    must EXACTLY reproduce single-device argmax (incl. first-index
+    tie-breaking across shard boundaries); temperature rows must return
+    valid in-vocab ids, never the padded tail, and be deterministic."""
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from lightvllm_tpu.ops.sampling import sample_sharded
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 (virtual) devices")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("model",))
+    B, V, Vpad = 16, 100, 128  # padded tail spans the last shard
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(key, (B, Vpad), jnp.float32)
+    # Plant exact ties straddling a shard boundary (cols 31/32): argmax
+    # must pick the first (col 31), and so must the cross-rank merge.
+    logits = logits.at[:4, 31].set(50.0).at[:4, 32].set(50.0)
+    temps_greedy = jnp.zeros(B, jnp.float32)
+    temps_hot = jnp.full(B, 0.9, jnp.float32)
+
+    def run(temps):
+        return shard_map(
+            lambda lg: sample_sharded(lg, temps, jax.random.PRNGKey(7),
+                                      "model", V),
+            mesh=mesh, in_specs=P(None, "model"), out_specs=P(),
+            check_vma=False,
+        )(logits)
+
+    ref = jnp.argmax(logits[:, :V], axis=-1).astype(jnp.int32)
+    got = run(temps_greedy)
+    assert (got == ref).all(), (got, ref)
+    assert int(got[0]) == 31  # tie broke to the first index
+
+    hot = np.asarray(run(temps_hot))
+    assert ((hot >= 0) & (hot < V)).all(), hot  # never padding
+    hot2 = np.asarray(run(temps_hot))
+    assert (hot == hot2).all()  # deterministic for a fixed key
