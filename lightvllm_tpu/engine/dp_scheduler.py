@@ -1,48 +1,33 @@
-"""Data-parallel scheduling: DP independent continuous-batching groups
-behind one engine step.
+"""Data-parallel request routing over independent per-group schedulers.
 
 The reference has no data parallelism (SURVEY.md §2.4); this implements the
-TPU-native version of the BASELINE multi-chip serving story: weights are
-replicated over the mesh "data" axis (they are sharded only on "model",
-parallel/sharding.py), each data group owns a private slice of the paged KV
-pool, and one jitted dispatch steps every group at once — group-stacked
-inputs vmapped over a leading axis that GSPMD shards on "data"
-(engine/runner.py). Scheduling stays deterministic pure Python: requests
-are routed to the least-loaded group at admission, and every group runs the
-same phase each step (a prefill step admits on all groups that have waiting
-work; a decode step advances every group with running sequences).
+TPU-native version of the BASELINE multi-chip serving story: LLMEngine
+instantiates one (Scheduler, ModelRunner) pair per data group — each runner
+on its own ("model",)-axis sub-mesh with a private KV pool — and drives the
+groups with fully INDEPENDENT phases: a group can prefill while another
+group's pipelined decode windows are still in flight on its own devices
+(engine/llm_engine.py step()). This class is only the request router and
+the aggregate stats view; scheduling itself happens per group.
 
-Synchronized phases are the one simplification vs. fully independent
-per-group loops: a group with only running sequences idles for one step
-while another group prefills. Groups drain their admission queues in the
-same step, so sustained mixed phases cannot starve either side.
+(r3 note: the previous design stacked inputs on a leading (DP,) axis and
+vmapped one dispatch over all groups — which forced lock-stepped phases,
+disabled pipelined decode, and pinned attention to the GSPMD jnp-oracle
+path. Independent per-group dispatch queues remove all three limits; the
+host dispatches asynchronously, so groups genuinely overlap on device.)
 """
 
 from __future__ import annotations
 
-from lightvllm_tpu.config import Config
 from lightvllm_tpu.engine.scheduler import Scheduler
 from lightvllm_tpu.engine.sequence import Sequence
 
 
 class DataParallelScheduler:
-    """Same surface as Scheduler, but schedule() returns per-group lists."""
+    """Routes requests to per-group Schedulers; aggregates their views."""
 
-    def __init__(self, config: Config, dp_size: int):
-        assert dp_size >= 1
-        assert config.num_kvcache_blocks >= dp_size, (
-            "fewer KV blocks than data-parallel groups"
-        )
-        self.dp_size = dp_size
-        # Each group owns num_blocks // dp of the pool; block ids are LOCAL
-        # to the group (the cache carries a leading (DP,) axis).
-        import copy
-
-        self.groups: list[Scheduler] = []
-        for _ in range(dp_size):
-            gcfg = copy.copy(config)
-            gcfg.num_kvcache_blocks = config.num_kvcache_blocks // dp_size
-            self.groups.append(Scheduler(gcfg))
+    def __init__(self, groups: list[Scheduler]):
+        assert groups
+        self.groups = groups
 
     # -- aggregate views -------------------------------------------------
 
@@ -69,48 +54,3 @@ class DataParallelScheduler:
         """Route to the least-loaded group (waiting + running count)."""
         g = min(self.groups, key=lambda g: len(g.waiting) + len(g.running))
         g.add(seq)
-
-    # -- stepping --------------------------------------------------------
-
-    def schedule(self) -> tuple[list[list[Sequence]], bool, int]:
-        """Returns (per-group scheduled lists, is_prefill, window).
-
-        Phase rule: prefill if ANY group can admit waiting work this step;
-        groups with nothing to do contribute an empty list (the runner pads
-        them). Decode windows are the min over active groups so every
-        group's fused scan stays in lockstep in the single dispatch.
-        """
-        # Single shared predicate (Scheduler.can_admit) so the phase vote
-        # cannot diverge from what each group's schedule() then does.
-        admitting = [g for g in self.groups if g.can_admit()]
-        if admitting:
-            out: list[list[Sequence]] = []
-            for g in self.groups:
-                if g in admitting:
-                    seqs, is_prefill, _ = g.schedule()
-                    assert is_prefill
-                    out.append(seqs)
-                else:
-                    out.append([])
-            return out, True, 1
-
-        out = []
-        window = None
-        for g in self.groups:
-            if g.running or g.waiting:
-                seqs, is_prefill, w = g.schedule()
-                assert not is_prefill
-                out.append(seqs)
-                window = w if window is None else min(window, w)
-            else:
-                out.append([])
-        if window is None:
-            raise AssertionError("schedule() called on a finished engine")
-        return out, False, window
-
-    def postprocess(self, group_seqs: list[list[Sequence]], group_tokens) -> int:
-        appended = 0
-        for g, seqs, tokens in zip(self.groups, group_seqs, group_tokens):
-            if seqs:
-                appended += g.postprocess(seqs, tokens)
-        return appended

@@ -85,24 +85,70 @@ class LLMEngine:
         # trees across engines); checkpoint loads are owned solely here.
         params_box = [params]
         del params
-        self.model_runner = ModelRunner(
-            self.config, spec, params_box.pop(), rng_seed=kwargs.get("rng_seed", 0)
-        )
-        if self.config.data_parallel_size > 1:
+        rng_seed = kwargs.get("rng_seed", 0)
+        dp = self.config.data_parallel_size
+        if dp > 1:
+            # Data parallelism: one INDEPENDENT runner per group, each on
+            # its own ("model",)-axis sub-mesh with a private KV pool and
+            # dispatch queue. Groups run fully independent phases (a group
+            # can prefill while another's decode windows are in flight on
+            # its own devices) with pipelined decode and the shard_map
+            # Pallas path — replacing the r3 vmapped (DP,)-stacked dispatch,
+            # which forced lock-stepped phases, synchronous decode, and the
+            # GSPMD jnp-oracle attention. Weights are replicated per group
+            # (each sub-mesh holds a full tp-sharded copy), matching the
+            # "model"-only sharding the stacked layout had.
+            import copy
+
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+
             from lightvllm_tpu.engine.dp_scheduler import DataParallelScheduler
 
-            self.scheduler = DataParallelScheduler(
-                self.config, self.config.data_parallel_size
+            tp = self.config.tensor_parallel_size
+            devices = jax.devices()
+            assert len(devices) >= dp * tp, (
+                f"dp={dp} x tp={tp} needs {dp * tp} devices, "
+                f"have {len(devices)}"
             )
+            host_params = params_box.pop()
+            self.runners = []
+            group_scheds = []
+            for g in range(dp):
+                gcfg = copy.copy(self.config)
+                gcfg.data_parallel_size = 1
+                if self.config.num_kvcache_blocks > 0:
+                    gcfg.num_kvcache_blocks = (
+                        self.config.num_kvcache_blocks // dp
+                    )
+                mesh = Mesh(
+                    np.asarray(devices[g * tp : (g + 1) * tp]), ("model",)
+                )
+                self.runners.append(
+                    ModelRunner(
+                        gcfg, spec, host_params, rng_seed=rng_seed + g,
+                        mesh=mesh,
+                    )
+                )
+                group_scheds.append(Scheduler(gcfg))
+            del host_params
+            self.model_runner = self.runners[0]
+            self.scheduler = DataParallelScheduler(group_scheds)
+            self._groups = list(zip(group_scheds, self.runners))
         else:
+            self.model_runner = ModelRunner(
+                self.config, spec, params_box.pop(), rng_seed=rng_seed
+            )
+            self.runners = [self.model_runner]
             self.scheduler = Scheduler(self.config)
+            self._groups = [(self.scheduler, self.model_runner)]
         self._stats = {"prefill_tokens": 0, "decode_tokens": 0, "prefill_s": 0.0, "decode_s": 0.0}
-        # Pipelined decode state: FIFO of in-flight speculated windows
-        # (engine.step drains it before scheduling anything else).
-        self._pending: deque = deque()
-        self._async_decode = (
-            self.config.async_decode and self.config.data_parallel_size == 1
-        )
+        # Pipelined decode state: per-group FIFOs of in-flight speculated
+        # windows (engine.step drains a group's queue before scheduling
+        # anything else for that group).
+        self._pending: list[deque] = [deque() for _ in self._groups]
+        self._async_decode = self.config.async_decode
         # depth 0 disables speculation entirely (dispatch/fetch with no
         # window chained ahead — the synchronous A/B baseline).
         self._async_depth = self.config.async_decode_depth
@@ -132,57 +178,89 @@ class LLMEngine:
         return seq.seq_id
 
     def step(self) -> tuple[list[tuple[int, list[int]]], int, bool]:
-        """Run one engine step (a prefill batch, or a fused decode window).
+        """Run one engine step: a prefill batch, or a fused decode window.
 
         Returns (finished [(seq_id, completion_token_ids)], num_tokens
-        processed, is_prefill).
+        processed, is_prefill). With data parallelism each group is an
+        independent (scheduler, runner, dispatch-queue) triple; a step
+        first gives every idle group work — prefills run immediately (other
+        groups' in-flight decode windows keep computing on their own
+        devices), decode windows are dispatched asynchronously — then
+        blocks on the OLDEST in-flight window across groups.
         """
         t0 = time.perf_counter()
-        q = self._pending
-        if q and all(s.is_finished for s in q[0].seqs):
-            # The whole batch drained at the previous postprocess — every
-            # speculated window is garbage for every slot. Drop them
-            # without blocking: their writes only touched
-            # never-hash-registered tail pages, and anything reusing those
-            # pages dispatches after them in device order (see
-            # Scheduler.speculate_next_window).
-            q.clear()
-        if not q:
-            seqs, is_prefill, window = self.scheduler.schedule()
-            if is_prefill or self.config.data_parallel_size > 1:
-                return self._sync_step(t0, seqs, is_prefill, window)
-            q.append(self.model_runner.dispatch_decode(seqs, window))
-        # Pipelined decode: keep up to `async_decode_depth` further windows
-        # enqueued (each fed by the previous window's device-resident last
-        # token row) before blocking on the oldest one, so the device never
-        # idles on host postprocess + input prep, and (depth >= 2) the
-        # sampled-token D2H transfer overlaps the next window's compute.
-        while (
-            self._async_decode
-            and len(q) <= self._async_depth
-            and self.scheduler.speculate_next_window(
-                q[-1].seqs, q[-1].window, inflight=len(q)
-            )
-        ):
-            last = q[-1]
-            q.append(
-                self.model_runner.dispatch_decode(
-                    last.seqs,
-                    last.window,
-                    # Host sequence state lags by every in-flight window.
-                    advance=len(q) * last.window,
-                    chained_tokens=last.last_tokens,
+        finished: list = []
+        prefill_n = 0
+        # Phase 1: give every idle group work.
+        for gi, (sched, runner) in enumerate(self._groups):
+            q = self._pending[gi]
+            if q and all(s.is_finished for s in q[0].seqs):
+                # The whole batch drained at the previous postprocess —
+                # every speculated window is garbage for every slot. Drop
+                # them without blocking: their writes only touched
+                # never-hash-registered tail pages, and anything reusing
+                # those pages dispatches after them in device order (see
+                # Scheduler.speculate_next_window).
+                q.clear()
+            if q or sched.is_finished():
+                continue
+            seqs, is_prefill, window = sched.schedule()
+            if is_prefill:
+                token_ids = runner.run(seqs, True)
+                # Count prefill work BEFORE postprocess appends the token.
+                prefill_n += sum(len(s) - s.num_cached_tokens for s in seqs)
+                sched.postprocess(seqs, token_ids)
+                finished += [
+                    (s.seq_id, s.completion_token_ids)
+                    for s in seqs
+                    if s.is_finished
+                ]
+            else:
+                q.append(runner.dispatch_decode(seqs, window))
+        if prefill_n:
+            self._stats["prefill_tokens"] += prefill_n
+            self._stats["prefill_s"] += time.perf_counter() - t0
+            return finished, prefill_n, True
+        # Phase 2 — pipelined decode: keep up to `async_decode_depth`
+        # further windows enqueued per group (each fed by the previous
+        # window's device-resident last token row) before blocking on the
+        # oldest one, so no device idles on host postprocess + input prep,
+        # and (depth >= 2) the sampled-token D2H transfer overlaps the next
+        # window's compute.
+        for gi, (sched, runner) in enumerate(self._groups):
+            q = self._pending[gi]
+            while (
+                self._async_decode
+                and q
+                and len(q) <= self._async_depth
+                and sched.speculate_next_window(
+                    q[-1].seqs, q[-1].window, inflight=len(q)
                 )
-            )
+            ):
+                last = q[-1]
+                q.append(
+                    runner.dispatch_decode(
+                        last.seqs,
+                        last.window,
+                        # Host sequence state lags by every in-flight window.
+                        advance=len(q) * last.window,
+                        chained_tokens=last.last_tokens,
+                    )
+                )
+        # Phase 3: block on the oldest in-flight window across groups.
+        live = [(gi, q) for gi, q in enumerate(self._pending) if q]
+        assert live, "step() called on a finished engine"
+        gi, q = min(live, key=lambda t: t[1][0].t0)
+        sched, runner = self._groups[gi]
         pending = q.popleft()
-        token_ids = self.model_runner.fetch_decode(pending)
+        token_ids = runner.fetch_decode(pending)
         # Report only sequences that finish at THIS postprocess: later
         # in-flight windows share the same seqs list, and re-emitting an
         # already-finished sequence would deliver its completion (and tick
         # generate()'s progress bar) once per pipeline level.
         was_finished = [s.is_finished for s in pending.seqs]
-        appended = self.scheduler.postprocess(pending.seqs, token_ids)
-        finished = [
+        appended = sched.postprocess(pending.seqs, token_ids)
+        finished += [
             (s.seq_id, s.completion_token_ids)
             for s, was in zip(pending.seqs, was_finished)
             if s.is_finished and not was
@@ -190,32 +268,6 @@ class LLMEngine:
         self._stats["decode_tokens"] += appended
         self._stats["decode_s"] += time.perf_counter() - t0
         return finished, appended, False
-
-    def _sync_step(self, t0, seqs, is_prefill, window):
-        token_ids = self.model_runner.run(seqs, is_prefill, window)
-        # With data parallelism `seqs` is a list of per-group lists.
-        flat = (
-            [s for g in seqs for s in g]
-            if self.config.data_parallel_size > 1
-            else seqs
-        )
-        # Count prefill work BEFORE postprocess appends the sampled token.
-        prefill_n = (
-            sum(len(s) - s.num_cached_tokens for s in flat) if is_prefill else 0
-        )
-        appended = self.scheduler.postprocess(seqs, token_ids)
-        finished = [
-            (s.seq_id, s.completion_token_ids) for s in flat if s.is_finished
-        ]
-        if is_prefill:
-            n = prefill_n
-            self._stats["prefill_tokens"] += n
-            self._stats["prefill_s"] += time.perf_counter() - t0
-        else:
-            n = appended
-            self._stats["decode_tokens"] += n
-            self._stats["decode_s"] += time.perf_counter() - t0
-        return finished, n, is_prefill
 
     def is_finished(self) -> bool:
         return self.scheduler.is_finished()

@@ -188,13 +188,22 @@ class ModelRunner:
             except Exception:
                 pass  # older jax without the knob
 
+        # Data parallelism lives ABOVE the runner: LLMEngine instantiates
+        # one runner per data group (per-group config copies with
+        # data_parallel_size=1), each on its own ("model",)-axis sub-mesh
+        # with a private KV pool and dispatch queue — so groups run fully
+        # independent phases with pipelined decode and the shard_map Pallas
+        # path (the r3 vmapped (DP,)-stacked dispatch forced lock-stepped
+        # phases and the GSPMD jnp-oracle attention).
+        assert config.data_parallel_size == 1, (
+            "dp>1 is orchestrated by LLMEngine (per-group runners); a "
+            "ModelRunner only ever sees tensor parallelism"
+        )
         self.mesh = mesh
-        if mesh is None and config.tensor_parallel_size * config.data_parallel_size > 1:
+        if mesh is None and config.tensor_parallel_size > 1:
             from lightvllm_tpu.parallel.mesh import make_mesh
 
-            self.mesh = make_mesh(
-                config.tensor_parallel_size, config.data_parallel_size
-            )
+            self.mesh = make_mesh(config.tensor_parallel_size, 1)
         # Quantize the LM-head contraction to int8 whenever the projection
         # weights are quantized (int8 is ppl-neutral, QUALITY.md): decode
         # streams the whole (E, V) head every step — 1.2 GB/step at 8B
@@ -478,26 +487,12 @@ class ModelRunner:
 
         decode_fn = make_decode_fn(spec)
 
-        self.dp = config.data_parallel_size
-        if self.dp > 1:
-            # Data parallelism: one dispatch steps every group. Group-stacked
-            # inputs (leading (DP,) axis, GSPMD-sharded on "data") vmap over
-            # the single-group step; params broadcast (sharded only on
-            # "model" => replicated across "data"), each group's KV pool is
-            # its slice of the cache's leading axis. Replaces nothing in the
-            # reference (it has no DP, SURVEY.md §2.4).
-            pre_core, dec_core = prefill_fn, decode_fn
-
-            def prefill_fn(params, token_ids, meta, cache, keys, extended):
-                return jax.vmap(
-                    lambda t, m, c, k: pre_core(params, t, m, c, k, extended)
-                )(token_ids, meta, cache, keys)
-
-            def decode_fn(params, token_ids, meta, cache, keys, window, extended):
-                return jax.vmap(
-                    lambda t, m, c, k: dec_core(params, t, m, c, k, window, extended)
-                )(token_ids, meta, cache, keys)
-
+        # Data parallelism lives ABOVE the runner: the engine instantiates
+        # one ModelRunner per data group, each on its own ("model",)-axis
+        # sub-mesh with a private KV pool and dispatch queue, so groups run
+        # fully independent phases with pipelined decode and the shard_map
+        # Pallas path (the r3 vmapped (DP,)-stacked dispatch forced
+        # lock-stepped phases and the GSPMD jnp-oracle attention).
         if config.enforce_eager:
             self._prefill = prefill_fn
             self._decode = decode_fn
@@ -514,14 +509,13 @@ class ModelRunner:
         # LOCAL views for BOTH phases, while the GSPMD paths must fall back
         # to the partitionable jnp oracle (a pallas_call is a manual-layout
         # custom call XLA's partitioner cannot split). GSPMD remains the
-        # dp>1 / eager path — a documented, not silent, downgrade.
+        # eager path — a documented, not silent, downgrade.
         self.tp_mode = config.tp_mode
         if self.tp_mode == "auto":
             self.tp_mode = (
                 "shard_map"
                 if (
                     self.mesh is not None
-                    and self.dp == 1
                     and not config.enforce_eager
                     and _shard_map_compatible(
                         spec, params, self.mesh.shape["model"]
@@ -532,7 +526,6 @@ class ModelRunner:
         if (
             self.tp_mode == "shard_map"
             and self.mesh is not None
-            and self.dp == 1
             and not config.enforce_eager
         ):
             # Manual-collective TP (SURVEY §7 / BASELINE overlap
@@ -675,7 +668,7 @@ class ModelRunner:
         self.cache: KVCache = alloc_kv_cache(
             spec.num_layers,
             spec.num_kv_heads,
-            self.num_blocks // self.dp,  # per-group pool (local block ids)
+            self.num_blocks,
             self.block_size,
             spec.head_dim,
             spec.jnp_dtype,
@@ -687,19 +680,11 @@ class ModelRunner:
             # the r2 scale-drop crash class is gone by construction).
             sc_shards=_tp,
         )
-        if self.dp > 1:
-            sc = self.cache.sc_shards
-            self.cache = jax.tree.map(
-                lambda x: jnp.zeros((self.dp,) + x.shape, x.dtype), self.cache
-            )
-            self.cache = KVCache(k=self.cache.k, v=self.cache.v, sc_shards=sc)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding
             from lightvllm_tpu.parallel.sharding import kv_cache_specs
 
             specs = kv_cache_specs()
-            if self.dp > 1:
-                specs = {f: P("data", *specs[f]) for f in specs}
             self.cache = KVCache(
                 k=jax.device_put(
                     self.cache.k, NamedSharding(self.mesh, specs["k"])
@@ -724,9 +709,6 @@ class ModelRunner:
         results land in the persistent compilation cache. Dummy tokens write
         garbage KV into page 0, which is safe: any sequence later allocating
         a page writes every slot it reads before attending over it.
-
-        Data-parallel runners warm the same grid with group-stacked inputs
-        (leading (DP,) axis), matching run_groups' shapes exactly.
         """
         if jax.default_backend() == "cpu" and not force:
             return  # CPU tests: compile times are trivial, skip the churn
@@ -767,12 +749,6 @@ class ModelRunner:
             )
             tokens = jnp.zeros(B, jnp.int32)
             step_key = key
-            if self.dp > 1:
-                meta = jax.tree.map(
-                    lambda x: jnp.broadcast_to(x, (self.dp,) + x.shape), meta
-                )
-                tokens = jnp.zeros((self.dp, B), jnp.int32)
-                step_key = jax.random.split(key, self.dp)
             for extended in variants:
                 _, self.cache = self._decode(
                     self.params,
@@ -853,14 +829,8 @@ class ModelRunner:
         if cfg.enforce_eager:
             return 0
 
-        dp = self.dp
-
         def sds(shape, dtype):
-            # Data-parallel runners probe the group-stacked (DP, ...) shapes
-            # the vmapped step actually compiles (dp=1: plain shapes).
-            return jax.ShapeDtypeStruct(
-                (dp,) + shape if dp > 1 else shape, dtype
-            )
+            return jax.ShapeDtypeStruct(shape, dtype)
 
         from lightvllm_tpu.ops.kv_cache import num_scale_heads
         from lightvllm_tpu.ops.quantization import FP8_DTYPE
@@ -889,7 +859,6 @@ class ModelRunner:
             v=tuple(sds(kv_shape, kv_dt) for _ in range(spec.num_layers)),
             sc_shards=_tp if self.int8_kv else 0,
         )
-        # Params are replicated across "data": no DP prefix.
         params = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params
         )
@@ -1072,56 +1041,6 @@ class ModelRunner:
 
     # ---------------- step ----------------
 
-    def run_groups(
-        self, groups: list[list[Sequence]], is_prefill: bool, window: int = 1
-    ) -> list:
-        """Data-parallel step: one dispatch advances every DP group.
-
-        Inputs are built per group with SHARED buckets (one compiled shape),
-        stacked on a leading (DP,) axis that shards on the mesh "data" axis,
-        and fed to the vmapped step. Returns per-group token lists shaped
-        like run()'s output ((B,) prefill / (window, B) decode)."""
-        assert len(groups) == self.dp
-        t0 = time.perf_counter()
-        self._key, step_key = jax.random.split(self._key)
-        keys = jax.random.split(step_key, self.dp)
-        extended = _sample_mode([s for g in groups for s in g])
-        if is_prefill:
-            per = [self._prefill_buckets(g) for g in groups]
-            T, B, Sq, NB = (max(b[i] for b in per) for i in range(4))
-            arrs = [self._prefill_arrays(g, T, B, Sq, NB) for g in groups]
-        else:
-            B = bucket(
-                max(len(g) for g in groups),
-                minimum=8,
-                cap=bucket(self.config.max_num_seqs, 8),
-            )
-            arrs = [self._decode_arrays(g, B) for g in groups]
-        stacked = {k: np.stack([a[k] for a in arrs]) for k in arrs[0]}
-        token_ids = jnp.asarray(stacked.pop("token_ids"))
-        if is_prefill:
-            meta = PrefillMeta(**{k: jnp.asarray(v) for k, v in stacked.items()})
-            tokens, self.cache = self._prefill(
-                self.params, token_ids, meta, self.cache, keys, extended
-            )
-            toks = np.asarray(tokens)  # (DP, B)
-            out = [toks[i, : len(g)].tolist() for i, g in enumerate(groups)]
-        else:
-            meta = DecodeMeta(**{k: jnp.asarray(v) for k, v in stacked.items()})
-            (tokens, _), self.cache = self._decode(
-                self.params, token_ids, meta, self.cache, keys, window, extended
-            )
-            toks = np.asarray(tokens)  # (DP, window, B)
-            out = [toks[i][:, : len(g)].tolist() for i, g in enumerate(groups)]
-        self.last_step_stats = {
-            "is_prefill": is_prefill,
-            "num_seqs": sum(len(g) for g in groups),
-            "window": 1 if is_prefill else window,
-            "padded_shape": tuple(token_ids.shape),
-            "step_time_s": time.perf_counter() - t0,
-        }
-        return out
-
     def dispatch_decode(
         self,
         seqs: list[Sequence],
@@ -1194,8 +1113,6 @@ class ModelRunner:
     def run(self, seqs: list[Sequence], is_prefill: bool, window: int = 1):
         """Prefill: returns (B,) sampled tokens. Decode: returns
         (window, B) sampled tokens (list of lists)."""
-        if self.dp > 1:
-            return self.run_groups(seqs, is_prefill, window)
         if not is_prefill:
             return self.fetch_decode(self.dispatch_decode(seqs, window))
         t0 = time.perf_counter()

@@ -161,5 +161,5 @@ def test_depth2_chains_multiple_windows(spec_params):
     max_q = 0
     while not eng.is_finished():
         eng.step()
-        max_q = max(max_q, len(eng._pending))
+        max_q = max(max_q, len(eng._pending[0]))
     assert max_q == 2, f"pipeline never reached depth 2 (max {max_q})"

@@ -2,8 +2,9 @@
 
 The reference has no data parallelism (SURVEY.md §2.4). Here dp>1 must
 reproduce the single-engine greedy outputs exactly: requests are routed to
-per-group schedulers with private KV pools, and one vmapped dispatch steps
-every group (engine/runner.py run_groups, engine/dp_scheduler.py).
+per-group schedulers, and each group is an independent (scheduler, runner,
+dispatch-queue) triple on its own sub-mesh with a private KV pool and
+fully independent phases (engine/llm_engine.py, engine/dp_scheduler.py).
 """
 
 import pytest
@@ -95,9 +96,16 @@ def test_dp2_tp4_matches_single_engine(spec_and_params):
 def test_dp_cache_and_routing(spec_and_params):
     spec, params = spec_and_params
     engine = make_engine(spec, params, dp=2)
-    # Cache gained a leading (DP,) axis over per-group pools.
-    assert engine.model_runner.cache.k[0].shape[0] == 2
-    assert engine.model_runner.cache.k[0].shape[1] == 64 // 2
+    # One independent runner per group, each with a private half-pool.
+    assert len(engine.runners) == 2
+    for runner in engine.runners:
+        assert runner.cache.k[0].shape[0] == 64 // 2
+    # Groups live on disjoint devices.
+    devs = [
+        {d for arr in r.cache.k for d in arr.devices()}
+        for r in engine.runners
+    ]
+    assert devs[0].isdisjoint(devs[1])
     for p in PROMPTS:
         engine.add_request(
             p, SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True)
@@ -138,15 +146,15 @@ def test_dp2_mixed_phase_progress(spec_and_params):
 
 
 def test_dp2_warmup_and_probe_shapes(spec_and_params):
-    """DP runners warm the decode shape grid with group-stacked inputs and
-    AOT-probe activation peaks (VERDICT r2 weak#4: both were skipped for
-    dp>1, re-opening mid-serving compile stalls and the OOM-at-first-
+    """Every DP group's runner warms the decode shape grid and AOT-probes
+    activation peaks independently (VERDICT r2 weak#4: both were skipped
+    for dp>1, re-opening mid-serving compile stalls and the OOM-at-first-
     max-batch risk)."""
     spec, params = spec_and_params
     engine = make_engine(spec, params, dp=2, decode_window=2)
-    runner = engine.model_runner
-    # force=True: exercise the (DP, ...) stacked warmup shapes on the CPU
-    # backend (on TPU this runs automatically at init).
+    runner = engine.runners[1]
+    # force=True: exercise the warmup shapes on the CPU backend (on TPU
+    # this runs automatically at init).
     runner.warmup_decode_shapes(force=True)
     # The probe lowers the worst-case group-stacked executables; on
     # backends without AOT memory analysis it falls back to 0.
@@ -158,3 +166,36 @@ def test_dp2_warmup_and_probe_shapes(spec_and_params):
         use_tqdm=False,
     )
     assert all(len(o["token_ids"]) == 4 for o in outs)
+
+
+def test_dp2_desynced_phases(spec_and_params):
+    """One group's prefill must NOT drain another group's in-flight decode
+    windows: with dp=2, group A decoding with speculated windows queued and
+    a newcomer routed to (empty) group B, the next step prefills B while
+    A's queue stays live (the r3 vmapped design lock-stepped phases, so a
+    prefill anywhere idled every decoding group for that step)."""
+    spec, params = spec_and_params
+    engine = make_engine(spec, params, dp=2, decode_window=2)
+    a = engine.add_request(
+        PROMPTS[0],
+        SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True),
+    )
+    engine.step()  # prefill group A
+    engine.step()  # decode window A; speculation fills A's queue
+    qa = next(q for q in engine._pending if q)
+    assert len(qa) >= 1
+    depth_before = len(qa)
+    b = engine.add_request(
+        PROMPTS[2],
+        SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True),
+    )
+    finished, n, is_prefill = engine.step()
+    assert is_prefill  # B prefilled...
+    assert len(qa) >= depth_before  # ...without draining A's queue
+    done = dict(finished)
+    while not engine.is_finished():
+        f, _, _ = engine.step()
+        done.update(dict(f))
+    ref = run_greedy(make_engine(spec, params), [PROMPTS[0]], n=16)
+    refb = run_greedy(make_engine(spec, params), [PROMPTS[2]], n=4)
+    assert done[a] == ref[0] and done[b] == refb[0]

@@ -60,7 +60,7 @@ def apply_ablation(name: str):
     elif name == "logits":
         real = qwen3.compute_logits
 
-        def cheap_logits(params, spec, h, tp_axis=None):
+        def cheap_logits(params, spec, h, tp_axis=None, gather=True):
             s = jnp.sum(h.astype(jnp.float32), axis=-1, keepdims=True)
             return jnp.broadcast_to(s, (h.shape[0], spec.vocab_size))
 
@@ -90,6 +90,12 @@ def main():
     ap.add_argument("--kv", default="auto")
     ap.add_argument("--model", default="0.6b")
     args = ap.parse_args()
+
+    if args.model == "8b" and "LV_HBM_BYTES" not in os.environ:
+        # Same budget as bench.py: the tunnel transport reports no memory
+        # stats and the 16 GiB reconstruction default over-commits the KV
+        # pool at 8B (measured compile-time OOM on the v5e).
+        os.environ["LV_HBM_BYTES"] = str(12 * 2**30)
 
     apply_ablation(args.ablate)
 
