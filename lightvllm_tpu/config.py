@@ -32,6 +32,14 @@ class Config:
     # quantization is on: decode streams the full (E, V) head every step
     # (1.2 GB/step at 8B bf16) while int8 is ppl-neutral (QUALITY.md).
     quantize_lm_head: bool = True
+    # Chunked prefill (serving QoS): cap the prompt tokens processed per
+    # prefill step so one long prompt cannot monopolize a step and stall
+    # every running decode (the reference prefills whole prompts only,
+    # SURVEY.md §2.7). 0 disables; otherwise a multiple of
+    # kvcache_block_size (chunks stay page-aligned for whole-page KV
+    # writes). A partially-prefilled prompt stays at the head of the
+    # waiting queue and continues next prefill step.
+    prefill_chunk_tokens: int = 0
     # --- parallelism ---
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
@@ -101,6 +109,10 @@ class Config:
         assert self.kernel_backend in ("native", "pallas")
         assert self.decode_kv_mode in ("staged", "scatter")
         assert self.tp_mode in ("auto", "gspmd", "shard_map")
+        assert self.prefill_chunk_tokens == 0 or (
+            self.prefill_chunk_tokens >= self.kvcache_block_size
+            and self.prefill_chunk_tokens % self.kvcache_block_size == 0
+        ), "prefill_chunk_tokens must be a positive multiple of the block size"
         if self.model:
             if self.hf_config is None:
                 from transformers import AutoConfig

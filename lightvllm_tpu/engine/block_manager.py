@@ -102,14 +102,49 @@ class BlockManager:
         # sequences' decode growth).
         return len(self.free_block_ids) >= seq.num_blocks + spare
 
-    def allocate(self, seq: Sequence) -> None:
+    def count_prefix_hits(self, seq: Sequence) -> int:
+        """Pure probe: the cached-token count allocate() would produce,
+        WITHOUT touching any state (no allocation, no stats). The chunked
+        prefill scheduler needs the hit length BEFORE allocating so it can
+        bound hash registration to the tokens the first chunk will actually
+        write. Must mirror allocate()'s hit logic exactly (incl. the
+        fully-cached adjustment)."""
+        cached = 0
+        h = -1
+        for i in range(seq.num_blocks):
+            token_ids = seq.get_token_ids_of_block(i)
+            if len(token_ids) != self.block_size:
+                break
+            h = compute_block_hash(token_ids, prefix=h)
+            block_id = self.hash_to_block_id.get(h, -1)
+            if block_id == -1 or self.blocks[block_id].token_ids != token_ids:
+                break
+            cached += self.block_size
+        if cached == seq.num_tokens:
+            cached -= self.block_size
+        return cached
+
+    def allocate(self, seq: Sequence, register_upto: int | None = None) -> None:
         """Allocate blocks for a prompt, reusing prefix-cached blocks.
 
         Full blocks carry a chained hash; a hit shares (ref_count++) or
         revives a free block with matching contents. Once the chain misses,
         all subsequent blocks miss (the prefix differs).
+
+        register_upto (chunked prefill): only MISS blocks whose contents the
+        first chunk actually writes (token index < register_upto) get their
+        hash registered now. A registered hash makes a block prefix-hittable
+        immediately, but a chunked prompt writes its tail blocks' KV in
+        LATER steps — registering them early would let a same-step admission
+        share pages holding garbage. Later chunks register as they go
+        (register_prefill_hashes); hit blocks register unconditionally
+        (their contents were written by whoever registered them first).
         """
         assert not seq.block_table, "sequence already allocated"
+        upto_blocks = (
+            seq.num_blocks if register_upto is None
+            else register_upto // self.block_size
+        )
         cache_miss = False
         h = -1
         for i in range(seq.num_blocks):
@@ -134,7 +169,7 @@ class BlockManager:
                     # Revive a freed-but-cached block: reset() wipes hash and
                     # contents, so restore them below via update().
                     block = self._allocate_block(block_id)
-            if h != -1:
+            if h != -1 and (not cache_miss or i < upto_blocks):
                 block.update(h, token_ids)
                 self.hash_to_block_id[h] = block_id
             seq.block_table.append(block_id)
@@ -142,6 +177,23 @@ class BlockManager:
             # Every block hit: keep at least the last block's tokens as query
             # tokens so prefill produces a hidden state to sample from.
             seq.num_cached_tokens -= self.block_size
+
+    def register_prefill_hashes(self, seq: Sequence, upto_tokens: int) -> None:
+        """Chain-register full blocks whose KV a previous prefill chunk has
+        already written (token index < upto_tokens). Called at schedule time
+        like may_append's lazy registration: anything prefix-hitting these
+        blocks dispatches strictly after the chunk that wrote them."""
+        for idx in range(upto_tokens // self.block_size):
+            block = self.blocks[seq.block_table[idx]]
+            if block.hash != -1:
+                continue
+            token_ids = seq.get_token_ids_of_block(idx)
+            prefix = (
+                self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else -1
+            )
+            h = compute_block_hash(token_ids, prefix)
+            block.update(h, token_ids)
+            self.hash_to_block_id[h] = block.block_id
 
     def deallocate(self, seq: Sequence) -> None:
         for block_id in reversed(seq.block_table):

@@ -207,8 +207,12 @@ class LLMEngine:
             seqs, is_prefill, window = sched.schedule()
             if is_prefill:
                 token_ids = runner.run(seqs, True)
-                # Count prefill work BEFORE postprocess appends the token.
-                prefill_n += sum(len(s) - s.num_cached_tokens for s in seqs)
+                # Count prefill work BEFORE postprocess appends the token
+                # (chunked prompts process [num_cached, prefill_end) only).
+                prefill_n += sum(
+                    (s.prefill_end or len(s)) - s.num_cached_tokens
+                    for s in seqs
+                )
                 sched.postprocess(seqs, token_ids)
                 finished += [
                     (s.seq_id, s.completion_token_ids)

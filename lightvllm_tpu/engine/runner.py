@@ -913,7 +913,11 @@ class ModelRunner:
 
     def _prefill_buckets(self, seqs: list[Sequence]) -> tuple[int, int, int, int]:
         bs = self.block_size
-        lens = [len(s) - s.num_cached_tokens for s in seqs] or [1]
+        # prefill_end < len(seq): a chunked prompt processes only
+        # [num_cached_tokens, prefill_end) this step (Config.prefill_chunk_tokens).
+        lens = [
+            (s.prefill_end or len(s)) - s.num_cached_tokens for s in seqs
+        ] or [1]
         # Each sequence's region is padded to whole blocks in the flat
         # stream (page-aligned KV writes, ops/kv_cache.write_kv_pages), so
         # the T bucket covers the block-padded total.
@@ -949,9 +953,13 @@ class ModelRunner:
         t = 0
         for b, seq in enumerate(seqs):
             nc = seq.num_cached_tokens
-            n = len(seq) - nc
+            # Chunked prefill: process [nc, end) only; attention masks via
+            # ctx_lens = end, so later prompt tokens are invisible until
+            # their own chunk runs.
+            end = seq.prefill_end or len(seq)
+            n = end - nc
             ar = np.arange(n, dtype=np.int32)
-            token_ids[t : t + n] = seq.token_ids[nc:]
+            token_ids[t : t + n] = seq.token_ids[nc:end]
             token_seq[t : t + n] = b
             token_rect_pos[t : t + n] = ar
             rect_index[b, :n] = t + ar
@@ -962,7 +970,7 @@ class ModelRunner:
                 pos = nc + ar
                 slot_mapping[t : t + n] = bt_np[pos // bs] * bs + pos % bs
             cached_lens[b] = nc
-            ctx_lens[b] = len(seq)
+            ctx_lens[b] = end
             block_tables[b, : len(bt_np)] = bt_np
             last_flat_idx[b] = t + n - 1
             temperatures[b] = seq.temperature

@@ -25,6 +25,12 @@ class Scheduler:
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos = config.eos
         self.decode_window = max(1, config.decode_window)
+        self.prefill_chunk_tokens = config.prefill_chunk_tokens
+        # Chunk/decode alternation: after a PARTIAL prompt chunk, yield one
+        # step to the running decodes before the next chunk — otherwise
+        # prefill-first priority runs all chunks back-to-back and the total
+        # decode stall equals the unchunked one (just split into steps).
+        self._chunk_yield = False
         assert config.num_kvcache_blocks > 0, "num_kvcache_blocks must be set"
         self.block_manager = BlockManager(
             config.num_kvcache_blocks, config.kvcache_block_size
@@ -64,7 +70,11 @@ class Scheduler:
         prefill phase. The single predicate shared with
         DataParallelScheduler's phase vote — keeping them one definition
         means the vote can never diverge from what schedule() then does."""
-        return bool(self.waiting) and self.block_manager.can_allocate(
+        if not self.waiting:
+            return False
+        if self.waiting[0].prefill_end is not None:
+            return True  # mid-chunk prompt: already allocated, must continue
+        return self.block_manager.can_allocate(
             self.waiting[0], spare=self.admission_watermark()
         )
 
@@ -88,31 +98,84 @@ class Scheduler:
         # 76 tok/s). The reference admits to the last block
         # (scheduler.py:72-90) and thrashes the same way.
         watermark = self.admission_watermark()
+        bs = self.block_manager.block_size
+        if self._chunk_yield:
+            self._chunk_yield = False
+            if self.running and self.waiting:
+                return self._schedule_decode()
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
-            # Count only uncached tokens against the batch-token budget; a
-            # prefix-cache hit makes admission cheaper (reference
-            # scheduler.py:82). can_allocate is conservative (pre-hit).
-            if not self.block_manager.can_allocate(seq, spare=watermark):
+            mid_chunk = seq.prefill_end is not None
+            if not mid_chunk and not self.block_manager.can_allocate(
+                seq, spare=watermark
+            ):
                 break
-            self.block_manager.allocate(seq)
-            new_tokens = len(seq) - seq.num_cached_tokens
-            if num_batched_tokens + new_tokens > self.max_num_batched_tokens:
-                # Roll back the speculative allocation and stop admitting.
-                self.block_manager.deallocate(seq)
+            # Per-step prompt-token budget: chunked prefill
+            # (prefill_chunk_tokens > 0) caps the tokens one step processes
+            # so a long prompt cannot stall every running decode for a full
+            # max-length step; the reference prefills whole prompts only
+            # (SURVEY.md §2.7). Chunks end on page boundaries (whole-page
+            # KV writes); a partial prompt stays at the head of waiting.
+            room = self.max_num_batched_tokens - num_batched_tokens
+            if self.prefill_chunk_tokens:
+                room = min(room, self.prefill_chunk_tokens - num_batched_tokens)
+            if mid_chunk:
+                # Register the blocks the previous chunk wrote, then resume.
+                self.block_manager.register_prefill_hashes(
+                    seq, seq.num_cached_tokens
+                )
+                start = seq.num_cached_tokens
+            else:
+                # Probe prefix hits BEFORE allocating so hash registration
+                # can be bounded to what this chunk writes (see
+                # BlockManager.allocate register_upto).
+                start = self.block_manager.count_prefix_hits(seq)
+            remaining = len(seq) - start
+            if remaining <= room:
+                take = remaining
+            elif not self.prefill_chunk_tokens:
+                # Chunking disabled: whole-prompt admission only (reference
+                # semantics) — stop when the next prompt cannot fit the
+                # remaining batch-token budget.
                 break
+            else:
+                take = (room // bs) * bs
+            if take <= 0:
+                break
+            partial = take < remaining
+            end = start + take
+            if not mid_chunk:
+                # Count only uncached tokens against the batch-token budget;
+                # a prefix-cache hit makes admission cheaper (reference
+                # scheduler.py:82).
+                self.block_manager.allocate(
+                    seq, register_upto=end if partial else None
+                )
+                assert seq.num_cached_tokens == start, "probe/allocate skew"
             num_seqs += 1
-            num_batched_tokens += new_tokens
+            num_batched_tokens += take
+            scheduled.append(seq)
+            if partial:
+                seq.prefill_end = end
+                # Yield the next step to the running decodes (alternation;
+                # see _chunk_yield) so the long prompt's chunks interleave
+                # with decode windows instead of stalling them end-to-end.
+                self._chunk_yield = bool(self.running)
+                break  # budget exhausted; the partial prompt keeps the head
+            seq.prefill_end = None
             seq.status = SequenceStatus.RUNNING
             self.waiting.popleft()
             self.running.append(seq)
-            scheduled.append(seq)
         if scheduled:
             return scheduled, True, 1
+        return self._schedule_decode()
 
-        # Phase 2: decode batching over an n-step window. The window shrinks
-        # to the smallest remaining token budget in the batch so no step is
-        # wasted past a sequence's max_tokens.
+    def _schedule_decode(self) -> tuple[list[Sequence], bool, int]:
+        # Decode batching over an n-step window. The window shrinks to the
+        # smallest remaining token budget in the batch so no step is wasted
+        # past a sequence's max_tokens.
+        scheduled: list[Sequence] = []
+        num_seqs = 0
         if not self.running:
             if self.waiting:
                 # A waiting sequence that can never be admitted (its prompt
@@ -232,6 +295,13 @@ class Scheduler:
         for step_tokens in token_ids:
             for seq, token_id in zip(seqs, step_tokens):
                 if seq.is_finished:
+                    continue
+                if seq.status == SequenceStatus.WAITING:
+                    # Mid-chunk prefill: the sampled token predicts a prompt
+                    # token we already have — discard it, advance the
+                    # processed-token cursor; the prompt continues from
+                    # prefill_end at the next prefill step.
+                    seq.num_cached_tokens = seq.prefill_end
                     continue
                 seq.append_token(token_id)
                 appended += 1

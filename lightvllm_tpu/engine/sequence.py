@@ -40,6 +40,11 @@ class Sequence:
         self.num_tokens = len(token_ids)
         self.num_prompt_tokens = len(token_ids)
         self.num_cached_tokens = 0
+        # Chunked prefill (Config.prefill_chunk_tokens): while a PARTIAL
+        # prompt chunk is scheduled/in flight, prefill_end marks the end of
+        # the processed-token range [num_cached_tokens, prefill_end); None
+        # means the prefill step covers the whole remaining prompt.
+        self.prefill_end: int | None = None
         self.block_size = block_size
         self.block_table: list[int] = []
         self.temperature = sampling_params.temperature

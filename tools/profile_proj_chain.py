@@ -13,7 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from lightvllm_tpu.ops.quantization import quantize_weight, matmul
 
-N1, N2, TRIALS = 4, 36, 3
+N1, N2, TRIALS = 8, 1024, 3
+CHAIN_N1, CHAIN_N2 = 4, 48
 E, QKV, GU, I = 4096, 6144, 24576, 12288
 L = 6
 T = int(os.environ.get("T", 64))
@@ -26,21 +27,22 @@ def w(in_f, out_f, i=0):
 shapes = {"wqkv": (E, QKV), "wo": (E, E), "w_gate_up": (E, GU), "w_down": (I, E)}
 weights = {k: w(*s) for k, s in shapes.items()}
 
-def timeit(fn, *args):
+def timeit(fn, *args, n1=None, n2=None):
     def loop(n, x, *rest):
         def body(i, x):
             o = fn(x + 0.0 * i, *rest)
             return x + 0.0 * o.astype(x.dtype)[:1, :1].sum()
         return jax.lax.fori_loop(0, n, body, x)
-    l1 = jax.jit(functools.partial(loop, N1))
-    l2 = jax.jit(functools.partial(loop, N2))
+    n1 = n1 or N1; n2 = n2 or N2
+    l1 = jax.jit(functools.partial(loop, n1))
+    l2 = jax.jit(functools.partial(loop, n2))
     np.asarray(l1(*args).sum()); np.asarray(l2(*args).sum())
     best = 1e9
     for _ in range(TRIALS):
         t0 = time.perf_counter(); np.asarray(l1(*args).sum())
         t1 = time.perf_counter(); np.asarray(l2(*args).sum())
         t2 = time.perf_counter()
-        best = min(best, ((t2-t1)-(t1-t0))/(N2-N1))
+        best = min(best, ((t2-t1)-(t1-t0))/(n2-n1))
     return best
 
 x = jax.random.normal(key, (T, E), jnp.bfloat16)
@@ -64,7 +66,7 @@ def chain(x, wl):
         gu = matmul(o, wl["w_gate_up"][i])
         h = matmul(gu[:, :I], wl["w_down"][i]) + h
     return h
-t_chain = timeit(lambda x_: chain(x_, wl), x)
+t_chain = timeit(lambda x_: chain(x_, wl), x, n1=CHAIN_N1, n2=CHAIN_N2)
 bytes_l = sum(weights[k].data.nbytes + weights[k].scale.nbytes for k in shapes)
 print(f"chained {L}-layer: {t_chain*1e3:.2f} ms/step "
       f"({bytes_l*L/t_chain/1e9:.1f} GB/s) -> per-invocation tax "
