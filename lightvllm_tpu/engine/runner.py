@@ -783,11 +783,18 @@ class ModelRunner:
         stats = dev.memory_stats() if hasattr(dev, "memory_stats") else None
         if not (stats and "bytes_limit" in stats) and dev.platform != "cpu":
             # Some PJRT transports (e.g. the axon tunnel) return no memory
-            # stats. Reconstruct: device HBM (env LV_HBM_BYTES overrides the
-            # v5e/v5p-class 16 GiB default) minus the weights actually held.
+            # stats. Reconstruct: per-chip HBM by device kind (env
+            # LV_HBM_BYTES overrides) minus the weights actually held.
             import os
 
-            limit = int(os.environ.get("LV_HBM_BYTES", 16 * 2**30))
+            kind = getattr(dev, "device_kind", "").lower()
+            if "v5p" in kind:
+                default_hbm = 95 * 2**30
+            elif "v6" in kind or "v4" in kind:
+                default_hbm = 32 * 2**30  # v6e 32 GB; v4 32 GB
+            else:
+                default_hbm = 16 * 2**30  # v5e / v5 lite
+            limit = int(os.environ.get("LV_HBM_BYTES", default_hbm))
             param_bytes = sum(
                 x.nbytes for x in jax.tree.leaves(self.params)
             )

@@ -74,7 +74,10 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 
 
 def quantize_weight(
-    w: jnp.ndarray, bits: int, group_size: int | None = None
+    w: jnp.ndarray,
+    bits: int,
+    group_size: int | None = None,
+    clip_search: bool = False,
 ) -> QuantizedTensor:
     """Symmetric weight-only quantization of w (in, out) with per-(group,
     out-channel) scales along the contraction axis.
@@ -82,6 +85,13 @@ def quantize_weight(
     int8 defaults to groups of 512 (finer than the classic per-out-channel
     scale, so strictly more accurate); int4 to groups of 128. Grouping also
     bounds the VMEM block the fused Pallas kernel dequantizes per grid step.
+
+    clip_search (AWQ-style): instead of the plain absmax scale, search a
+    per-(group, out-channel) clip factor c in [0.5, 1.0] minimizing the
+    group's squared reconstruction error. With an in-row outlier sharing a
+    group (a 10-100x row crushes the other rows' precision under absmax),
+    clipping the outlier trades its own error for everyone else's — the
+    measured fallback for outlier-heavy checkpoints (QUALITY.md).
     """
     assert bits in (8, 4)
     in_f, out_f = w.shape
@@ -97,8 +107,31 @@ def quantize_weight(
     groups = in_f // gs
     wg = wf.reshape(groups, gs, out_f)
     amax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)  # (groups, 1, out)
-    scale = jnp.maximum(amax / qmax, 1e-8)
-    q = jnp.clip(jnp.round(wg / scale), -qmax - 1, qmax).astype(jnp.int8)
+
+    def quantize_at(scale):
+        scale = jnp.maximum(scale, 1e-8)
+        q = jnp.clip(jnp.round(wg / scale), -qmax - 1, qmax)
+        return q, scale
+
+    if clip_search:
+        best_err = None
+        best = None
+        for c in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5):
+            q, scale = quantize_at(amax * c / qmax)
+            err = jnp.sum((q * scale - wg) ** 2, axis=1, keepdims=True)
+            if best_err is None:
+                best_err, best = err, (q, scale)
+            else:
+                pick = err < best_err
+                best_err = jnp.where(pick, err, best_err)
+                best = (
+                    jnp.where(pick, q, best[0]),
+                    jnp.where(pick, scale, best[1]),
+                )
+        q, scale = best
+    else:
+        q, scale = quantize_at(amax / qmax)
+    q = q.astype(jnp.int8)
     if bits == 4:
         q = pack_int4(q)
     return QuantizedTensor(data=q, scale=scale, bits=bits)

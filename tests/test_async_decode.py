@@ -17,6 +17,8 @@ from lightvllm_tpu import SamplingParams
 from lightvllm_tpu.engine.llm_engine import LLMEngine
 from lightvllm_tpu.models import qwen3
 
+pytestmark = pytest.mark.slow  # core lane: pytest -m 'not slow'
+
 
 def tiny_spec():
     return qwen3.ModelSpec(

@@ -15,6 +15,8 @@ from lightvllm_tpu import SamplingParams
 from lightvllm_tpu.engine.llm_engine import LLMEngine
 from lightvllm_tpu.models import qwen3
 
+pytestmark = pytest.mark.slow  # core lane: pytest -m 'not slow'
+
 BS = 16
 
 

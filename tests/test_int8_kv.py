@@ -20,6 +20,8 @@ from lightvllm_tpu.ops.kv_cache import (
     write_kv_layer,
 )
 
+pytestmark = pytest.mark.slow  # core lane: pytest -m 'not slow'
+
 
 def page_scales(cache, layer=0):
     """Decoded in-page scales as one (NB, 2, Hkv, D) array (K then V)."""

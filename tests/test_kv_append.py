@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
 
+pytestmark = pytest.mark.slow  # core lane: pytest -m 'not slow'
+
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("window", [1, 4, 16])

@@ -16,6 +16,8 @@ from lightvllm_tpu.ops.kv_cache import KVCache
 from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
 from lightvllm_tpu.utils.metadata import DecodeMeta
 
+pytestmark = pytest.mark.slow  # core lane: pytest -m 'not slow'
+
 
 def make_case(key, B, Hq, Hkv, D, BSZ, NB_total, ctx_lens, dtype=jnp.float32):
     ks = jax.random.split(key, 4)

@@ -20,6 +20,8 @@ from lightvllm_tpu.ops.attention import (
 from lightvllm_tpu.ops.kv_cache import KVCache, write_kv_layer
 from lightvllm_tpu.utils.metadata import PrefillMeta
 
+pytestmark = pytest.mark.slow  # core lane: pytest -m 'not slow'
+
 
 def build_case(key, Hq, Hkv, D, BSZ, NB_total, ctx_lens, cached_lens, dtype):
     """Random paged cache + flat queries for a batch of part-cached seqs."""

@@ -112,3 +112,26 @@ def test_quant_matmul_tile_plan_fits_vmem():
             f"tile plan exceeds VMEM headroom: {(T, groups, gsp, out)} -> "
             f"TO={TO} KG={KG} ({2 * (w_window + x_tile) + acc} bytes)"
         )
+
+
+def test_int4_clip_search_beats_absmax_on_outlier_rows():
+    """A 100x in-row outlier sharing a quant group crushes the other rows'
+    precision under plain absmax; the AWQ-style clip search must strictly
+    reduce the group reconstruction error and stay exact-shape compatible."""
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (256, 128), jnp.float32) * 0.02
+    w = w.at[5, :].mul(100.0)  # outlier row inside group 0
+    plain = quantize_weight(w, 4, 128)
+    clipped = quantize_weight(w, 4, 128, clip_search=True)
+    assert clipped.data.shape == plain.data.shape
+    assert clipped.scale.shape == plain.scale.shape
+    err_plain = jnp.linalg.norm(dequantize(plain, jnp.float32) - w)
+    err_clip = jnp.linalg.norm(dequantize(clipped, jnp.float32) - w)
+    assert float(err_clip) < float(err_plain)
+    # Clean weights: clip search must not be (meaningfully) worse.
+    w2 = jax.random.normal(key, (256, 128), jnp.float32) * 0.02
+    e1 = jnp.linalg.norm(dequantize(quantize_weight(w2, 4, 128), jnp.float32) - w2)
+    e2 = jnp.linalg.norm(
+        dequantize(quantize_weight(w2, 4, 128, clip_search=True), jnp.float32) - w2
+    )
+    assert float(e2) <= float(e1) * 1.001

@@ -14,9 +14,12 @@ from lightvllm_tpu.config import Config
 from lightvllm_tpu.engine.llm_engine import LLMEngine
 from lightvllm_tpu.models import qwen3
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    ),
+]
 
 BS = 16
 

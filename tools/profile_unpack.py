@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""INT4 unpack-strategy shootout inside the fused dequant+matmul kernel.
+
+r4 finding: at decode T=64 the production kernel is VPU-bound on the int4
+unpack (int32 widen + two shifts + two converts per packed byte), running
+the projections at ~360-450 GB/s vs the ~750 GB/s roofline — ~8.7 ms of
+the 22.4 ms 8B step. Variants measured here:
+
+  v0      production: int32 widen + shifts (ops/pallas/quant_matmul.py)
+  vfloat  float-domain: f = conv(b) = 16h + u; h = floor(f/16);
+          u = f - 16h; l = u - 16*(u >= 8). No int32 ops; one convert +
+          ~6 f32 VPU ops per packed byte.
+  vand    int8 bitwise AND mask + 2 converts + float reconstruct
+          (needs Mosaic int8 `and` support; falls back loudly if not).
+  vint8   int8 (gs=512) same shape — the no-unpack reference point.
+
+Run: python tools/profile_unpack.py [--t 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lightvllm_tpu.ops.pallas.quant_matmul import _plan_tiles, _pick_tile
+from lightvllm_tpu.ops.quantization import quantize_weight, quantized_matmul
+
+N1, N2, TRIALS = 8, 1024, 3
+
+
+def make_kernel(unpack):
+    def kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype, nk):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        mm_dt = jnp.bfloat16
+        wb = unpack(w_ref[...], mm_dt)
+        xg = x_ref[...]
+        partial = jax.lax.dot_general(
+            xg.astype(mm_dt), wb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] += jnp.sum(partial * s_ref[...], axis=0)
+
+        @pl.when(k == nk - 1)
+        def _write():
+            o_ref[...] = acc_ref[...].astype(out_dtype)
+
+    return kernel
+
+
+def unpack_v0(w_i8, mm_dt):
+    w32 = w_i8.astype(jnp.int32)
+    low = (w32 << 28) >> 28
+    high = w32 >> 4
+    return jnp.concatenate([low, high], axis=1).astype(mm_dt)
+
+
+def unpack_vfloat(w_i8, mm_dt):
+    # b = 16h + u (u = low nibble unsigned [0,16)); all values are small
+    # integers, exact in f32/bf16. floor/mod in float domain: no int32 ops.
+    f = w_i8.astype(jnp.float32)
+    h = jnp.floor(f * (1.0 / 16.0))
+    u = f - 16.0 * h
+    l = u - jnp.where(u >= 8.0, 16.0, 0.0)
+    return jnp.concatenate([l, h], axis=1).astype(mm_dt)
+
+
+def unpack_vand(w_i8, mm_dt):
+    u = (w_i8 & 0x0F).astype(jnp.float32)  # low nibble unsigned [0,16)
+    f = w_i8.astype(jnp.float32)  # 16h + u
+    h = (f - u) * (1.0 / 16.0)
+    l = u - jnp.where(u >= 8.0, 16.0, 0.0)
+    return jnp.concatenate([l, h], axis=1).astype(mm_dt)
+
+
+def run_variant(name, unpack, x, data, scale, bits=4):
+    groups, gsp, out = data.shape
+    gs = gsp * 2 if bits == 4 else gsp
+    in_f = groups * gs
+    T = x.shape[0]
+    TT = _pick_tile(-(-T // 8) * 8, 256)
+    Tp = -(-T // TT) * TT
+    xg = x.reshape(T, groups, gs).swapaxes(0, 1)
+    TO, KG = _plan_tiles(Tp, TT, groups, gsp, out, 0, 2048, gs)
+    nk = groups // KG
+
+    @jax.jit
+    def f(xg, data, scale):
+        return pl.pallas_call(
+            functools.partial(make_kernel(unpack), out_dtype=jnp.bfloat16, nk=nk),
+            grid=(Tp // TT, out // TO, nk),
+            in_specs=[
+                pl.BlockSpec((KG, TT, gs), lambda t, o, k: (k, t, 0)),
+                pl.BlockSpec((KG, gsp, TO), lambda t, o, k: (k, 0, o)),
+                pl.BlockSpec((KG, 1, TO), lambda t, o, k: (k, 0, o)),
+            ],
+            out_specs=pl.BlockSpec((TT, TO), lambda t, o, k: (t, o)),
+            out_shape=jax.ShapeDtypeStruct((Tp, out), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((TT, TO), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(xg, data, scale)
+
+    def loop(n, xg, data, scale):
+        def body(i, xg):
+            o = f(xg + 0.0 * i, data, scale)
+            return xg + 0.0 * o.astype(xg.dtype)[:1, :1].sum()
+        return jax.lax.fori_loop(0, n, body, xg)
+
+    l1 = jax.jit(functools.partial(loop, N1))
+    l2 = jax.jit(functools.partial(loop, N2))
+    try:
+        np.asarray(l1(xg, data, scale).sum())
+        np.asarray(l2(xg, data, scale).sum())
+    except Exception as e:
+        print(f"  {name:8s} FAILED: {str(e)[:140]}")
+        return None
+    best = 1e9
+    for _ in range(TRIALS):
+        t0 = time.perf_counter(); np.asarray(l1(xg, data, scale).sum())
+        t1 = time.perf_counter(); np.asarray(l2(xg, data, scale).sum())
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (N2 - N1))
+    wbytes = data.nbytes + scale.nbytes
+    print(f"  {name:8s} {best*1e6:7.1f} us  ({wbytes/best/1e9:6.1f} GB/s)")
+    # numerics vs oracle
+    from lightvllm_tpu.ops.quantization import QuantizedTensor
+    ref = quantized_matmul(x, QuantizedTensor(data=data, scale=scale, bits=bits))
+    got = f(xg, data, scale)[:T]
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
+    denom = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) or 1.0
+    if err / denom > 2e-2:
+        print(f"           NUMERICS MISMATCH rel {err/denom:.3g}")
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=64)
+    ap.add_argument("--shapes", default="4096x6144,4096x24576,12288x4096")
+    args = ap.parse_args()
+    key = jax.random.PRNGKey(0)
+    for s in args.shapes.split(","):
+        in_f, out_f = map(int, s.split("x"))
+        w = jax.random.normal(key, (in_f, out_f), jnp.float32) * 0.02
+        q4 = quantize_weight(w, 4, 128)
+        x = jax.random.normal(key, (args.t, in_f), jnp.bfloat16)
+        print(f"=== {in_f}x{out_f} T={args.t} int4 gs128 ===", flush=True)
+        run_variant("v0", unpack_v0, x, q4.data, q4.scale)
+        run_variant("vfloat", unpack_vfloat, x, q4.data, q4.scale)
+        run_variant("vand", unpack_vand, x, q4.data, q4.scale)
+
+
+if __name__ == "__main__":
+    main()

@@ -321,6 +321,101 @@ def quant_error_stats() -> None:
                       "worst_int4_rel_err": worst[0]["rel_err_int4"]}), flush=True)
 
 
+def outlier_probe() -> None:
+    """Synthetic outlier-channel injection (VERDICT r3 next#8): real-LLM
+    activation/weight channel outliers interact with absmax int4 grouping
+    in ways a clean byte-LM census cannot probe. Inject them
+    FUNCTION-PRESERVINGLY into the trained checkpoint, so every variant's
+    bf16 ppl is identical and any delta is purely quantization numerics:
+
+      - weight IN-ROW outliers (the absmax-grouping failure mode): for
+        channel c, w_up[:, c] /= s and w_down[c, :] *= s. SwiGLU is
+        elementwise-linear in up, so the function is exactly preserved;
+        w_down gains s-times rows that share int4 quant groups with normal
+        rows, crushing their precision under plain absmax.
+      - K-CHANNEL outliers (int8-KV page-scale path): k_norm[c] *= s,
+        q_norm[c] /= s. q.k scores are exactly preserved; the KV cache now
+        stores a s-times K channel, probing the per-(page, head, channel)
+        in-page scales (expected robust — scales are per-channel).
+
+    Measures ppl for bf16 / int4 / int4+clip-search / int4+int8-KV at
+    s in {10, 100} on 4 channels per layer; writes
+    .quality/outlier_probe{tag}.json and appends a QUALITY.md-ready table.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lightvllm_tpu.evals import evaluate_ppl
+    from lightvllm_tpu.models import qwen3
+    from lightvllm_tpu.utils.loader import load_saved_params
+
+    spec_f32 = qwen3.ModelSpec(dtype="float32", **spec_kwargs())
+    spec = qwen3.ModelSpec(dtype="bfloat16", **spec_kwargs())
+    tokens = np.load(_corpus_path("eval")).astype(np.int32)[:EVAL_TOKENS // 2]
+    rng = np.random.default_rng(7)
+
+    def inject(params, s: float, n_chan: int = 4):
+        lay = dict(params["layers"])
+        I = lay["w_up"][0].shape[1]
+        D = lay["k_norm"][0].shape[0]
+        w_up, w_down = list(lay["w_up"]), list(lay["w_down"])
+        q_norm, k_norm = list(lay["q_norm"]), list(lay["k_norm"])
+        for l in range(len(w_up)):
+            chans = rng.choice(I, size=n_chan, replace=False)
+            up = np.asarray(w_up[l], np.float32)
+            down = np.asarray(w_down[l], np.float32)
+            up[:, chans] /= s
+            down[chans, :] *= s
+            w_up[l] = jnp.asarray(up, w_up[l].dtype if w_up[l].dtype != jnp.float32 else jnp.float32)
+            w_down[l] = jnp.asarray(down)
+            kchan = rng.choice(D, size=2, replace=False)
+            knl = np.asarray(k_norm[l], np.float32)
+            qnl = np.asarray(q_norm[l], np.float32)
+            knl[kchan] *= s
+            qnl[kchan] /= s
+            k_norm[l] = jnp.asarray(knl)
+            q_norm[l] = jnp.asarray(qnl)
+        lay["w_up"], lay["w_down"] = tuple(w_up), tuple(w_down)
+        lay["q_norm"], lay["k_norm"] = tuple(q_norm), tuple(k_norm)
+        return {**params, "layers": lay}
+
+    def q4(params, clip):
+        from lightvllm_tpu.ops.quantization import quantize_weight
+
+        lay = dict(params["layers"])
+        for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+            lay[name] = tuple(
+                quantize_weight(jnp.asarray(wi, jnp.bfloat16), 4, 128,
+                                clip_search=clip)
+                for wi in lay[name]
+            )
+        return {**params, "layers": lay}
+
+    results = []
+    for s in (1.0, 10.0, 100.0):
+        base = load_saved_params(_ckpt_path(), spec_f32)
+        p = inject(base, s) if s > 1 else base
+        p_bf16 = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 and x.ndim >= 1 else x, p
+        )
+        row = {"outlier_scale": s}
+        row["bf16"] = evaluate_ppl(p_bf16, spec, tokens, window=1024)["ppl"]
+        row["int4"] = evaluate_ppl(q4(p, False), spec, tokens, window=1024)["ppl"]
+        row["int4_clip"] = evaluate_ppl(q4(p, True), spec, tokens, window=1024)["ppl"]
+        row["int4_int8kv"] = evaluate_ppl(
+            q4(p, False), spec, tokens, window=1024, kv_cache_dtype="int8"
+        )["ppl"]
+        for k in ("int4", "int4_clip", "int4_int8kv"):
+            row[f"{k}_delta"] = round(row[k] - row["bf16"], 4)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    path = os.path.join(QDIR, f"outlier_probe{_tag()}.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"outlier_probe": path}), flush=True)
+
+
 def gate(attn_impls=("jnp",)) -> None:
     import jax
     import jax.numpy as jnp
@@ -365,7 +460,8 @@ def gate(attn_impls=("jnp",)) -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", nargs="?", default="all",
-                    choices=["corpus", "train", "gate", "errstats", "all"])
+                    choices=["corpus", "train", "gate", "errstats",
+                             "outliers", "all"])
     ap.add_argument("--attn", default="jnp",
                     help="comma list: jnp,pallas (pallas needs the TPU)")
     args = ap.parse_args()
@@ -379,5 +475,7 @@ if __name__ == "__main__":
         train()
     if args.stage in ("errstats", "all"):
         quant_error_stats()
+    if args.stage in ("outliers", "all"):
+        outlier_probe()
     if args.stage in ("gate", "all"):
         gate(tuple(args.attn.split(",")))
