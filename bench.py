@@ -96,7 +96,10 @@ def main():
         decode_window=window,
         max_num_seqs=max(batch, 8),
         max_model_len=2048,
-        max_num_batched_tokens=max(4096, batch * prompt_len),
+        # Cap the prefill step at 8k tokens: a single T = batch*prompt
+        # bucket at b64 x 1024 is a 65k-token executable whose activations
+        # alone blow HBM at 8B (measured compile OOM at 24.7 GB).
+        max_num_batched_tokens=min(max(4096, batch * prompt_len), 8192),
         kvcache_block_size=64,
         num_kvcache_blocks=-1,
         quantization=quant,
@@ -160,16 +163,47 @@ def main():
     jax.block_until_ready(eng.model_runner.cache.k)
     decode_s = time.perf_counter() - t0
 
+    # WARM p50 TTFT: the cold number above is dominated by the first-step
+    # jit compile (the axon remote-AOT transport bypasses the persistent
+    # compilation cache, ~20 s at the 8B T=8192 prefill bucket). Submit a
+    # fresh batch of same-shape prompts — every executable is now compiled —
+    # and measure submission -> first sampled token per request. This is
+    # the serving TTFT a warmed process delivers (and includes contention
+    # with the still-running decode batch, as real serving would).
+    for _ in range(batch):
+        eng.add_request(
+            rng.integers(1, spec.vocab_size, size=prompt_len).tolist(),
+            SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True),
+        )
+    t_submit2 = time.perf_counter()
+    ttft2: dict[int, float] = {}
+    guard = 0
+    while len(ttft2) < batch and guard < 200:
+        _, n, is_prefill = eng.step()
+        guard += 1
+        if is_prefill:
+            now = time.perf_counter()
+            for s in eng.scheduler.running:
+                if (
+                    s.num_completion_tokens == 1
+                    and s.seq_id not in ttft
+                    and s.seq_id not in ttft2
+                ):
+                    ttft2[s.seq_id] = now - t_submit2
+    warm = sorted(ttft2.values())
+    p50_ttft_warm = warm[len(warm) // 2] if warm else 0.0
+
     tok_per_s = done / decode_s
     result = {
         "metric": f"decode throughput Qwen3-{model} {quant or 'bf16'} kv={kv} m={kv_mode} b{batch} w{cfg_window} (1 chip)",
         "value": round(tok_per_s, 1),
         "unit": "tok/s/chip",
         "vs_baseline": round(tok_per_s / NORTH_STAR_TOK_S, 3),
-        # p50 time-to-first-token across the batch, INCLUDING the first
-        # step's jit compile (cold start); prefill_tok_s is the steady
-        # prefill rate over the whole admission phase.
-        "p50_ttft_s": round(p50_ttft, 3),
+        # Warm p50 time-to-first-token (all executables compiled, measured
+        # against a running decode batch); cold includes the first-step jit
+        # compile. prefill_tok_s is the cold admission-phase rate.
+        "p50_ttft_s": round(p50_ttft_warm, 3),
+        "p50_ttft_cold_s": round(p50_ttft, 3),
         "prefill_tok_s": round(prefill_tokens / prefill_s, 1) if prefill_s else 0.0,
         "prompt_len": prompt_len,
     }

@@ -119,6 +119,7 @@ def _decode_kernel(
     num_kv_heads: int,
     has_stage: bool,
     has_scale: bool = False,  # int8 pages with in-page scale heads
+    dequant_mode: str = "fold",  # "fold" (into q / output) | "page"
 ):
     refs = list(refs)
     if has_stage:
@@ -228,7 +229,15 @@ def _decode_kernel(
         # (measured ~1.9 ms/layer vs 0.3 for bf16); the elementwise cast on
         # the native page layout is cheap and the bf16 reshape is free.
         k4 = kslab.astype(cd)  # (ppcb, Hkv, BSZ, D); int8 payload exact in cd
-        if has_scale:
+        if has_scale and dequant_mode == "page":
+            # Page-side dequant: multiply the page by its per-(page, head,
+            # channel) scale so BOTH score and output matmuls run the
+            # single-big-matmul (no per-page split) path below. BSZ/Gp more
+            # VPU multiplies than the q/output fold, but ONE dot per chunk
+            # instead of ppcb small ones — A/B'd on hardware
+            # (tools/profile_attn.py --dequant page).
+            k4 = (k4.astype(jnp.float32) * sc_k[:, :, None, :]).astype(cd)
+        if has_scale and dequant_mode == "fold":
             # Dequant by folding the per-(page, head, channel) K scale into
             # q, not into the page: q*sc_k is (ppcb, HG, D) VPU work vs
             # (ppcb, Hkv, BSZ, D) for page-side dequant — BSZ/Gp (8x at
@@ -282,7 +291,9 @@ def _decode_kernel(
             npages_ref, b, i, ppcb,
         )
         v4 = v_buf[buf_idx].astype(cd)
-        if has_scale:
+        if has_scale and dequant_mode == "page":
+            v4 = (v4.astype(jnp.float32) * sc_v[:, :, None, :]).astype(cd)
+        if has_scale and dequant_mode == "fold":
             # V dequant folds into the per-page partial output: row hg of
             # p_pg @ v_pg only accumulates tokens of head hg//Gp (cross-head
             # scores are exact zeros), so the per-(page, head, channel) V
@@ -354,7 +365,10 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "scale", "ppcb", "sc_shards", "interpret"),
+    static_argnames=(
+        "block_size", "scale", "ppcb", "sc_shards", "interpret",
+        "dequant_mode",
+    ),
 )
 def paged_flash_decode(
     q: jnp.ndarray,  # (B, Hq, D)
@@ -370,6 +384,7 @@ def paged_flash_decode(
     block_size: int,
     scale: float,
     ppcb: int = 8,
+    dequant_mode: str = "fold",  # int8 dequant: "fold" | "page" (see kernel)
     interpret: bool = False,
 ) -> jnp.ndarray:  # (B, Hq, D) in q.dtype
     B, Hq, D = q.shape
@@ -446,6 +461,7 @@ def paged_flash_decode(
             num_kv_heads=Hkv,
             has_stage=has_stage,
             has_scale=has_scale,
+            dequant_mode=dequant_mode,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),

@@ -100,9 +100,17 @@ def _plan_tiles(Tp, TT, groups, gsp, out, tile_o, tile_k, gs):
         and Tp * out * 4 <= 8 * 2**20
         and gsp * out <= 24 * 2**20
     ):
-        # Decode mode: accumulate the whole output row block in VMEM so the
-        # x tile is read exactly once (kills the +24% re-read tax).
+        # Decode mode: the whole output row block's accumulator fits VMEM,
+        # so x re-reads are cheap — but cap TO at 2048: measured on v5e r4
+        # (tools/profile_unpack.py), TO=2048 beats TO=out by 5-17% at every
+        # 8B projection shape (4096x6144: 30.8 vs 37.2 us; 4096x24576:
+        # 113.4 vs 119.3) — more grid steps pipeline the weight DMAs
+        # against the int4 unpack, which is the bottleneck at decode T.
         TO = out
+        if out > 2048:
+            for d in range(128, 2049, 128):
+                if out % d == 0:
+                    TO = d
     else:
         # Largest divisor of `out` (multiple of the 128 lane tile) whose
         # f32 accumulator and 1-group weight tile both fit comfortably in

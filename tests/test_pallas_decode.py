@@ -125,10 +125,12 @@ def test_decode_kernel_bf16_io():
     )
 
 
-def test_decode_kernel_int8_inpage_scales():
+@pytest.mark.parametrize("dequant_mode", ["fold", "page"])
+def test_decode_kernel_int8_inpage_scales(dequant_mode):
     """int8 pages with in-page scale heads vs the oracle on DEQUANTIZED
     pages: covers the dequant-fold paths (per-page K scale folded into q,
-    per-page V scale folded into the output partial) that only run on the
+    per-page V scale folded into the output partial) and the page-side
+    dequant variant (single big matmul per chunk) that only run on the
     has_scale kernel branch."""
     from lightvllm_tpu.ops.kv_cache import encode_page_scales, truncate_scale
 
@@ -156,7 +158,7 @@ def test_decode_kernel_int8_inpage_scales():
     )  # (NB, Hkv + Sh, BSZ, D)
     got = paged_flash_decode(
         q, kq_paged, vq, bt, ctx, sc_shards=1, block_size=BSZ, scale=scale,
-        interpret=True,
+        dequant_mode=dequant_mode, interpret=True,
     )
     # Kernel matmuls run in bf16 (int8 payload exact; q*sc_k rounded to
     # bf16; V rescale in f32): tolerance reflects bf16 rounding only.

@@ -56,11 +56,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ctx", type=int, default=1100)
+    ap.add_argument("--hq", type=int, default=16)
+    ap.add_argument("--dequant", default="fold", choices=["fold", "page"])
     args = ap.parse_args()
 
     from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
 
-    B, Hq, Hkv, D, BSZ = args.batch, 16, 8, 128, 64
+    B, Hq, Hkv, D, BSZ = args.batch, args.hq, 8, 128, 64
     NB = -(-args.ctx // BSZ) + 1
     NBtot = B * NB
     rng = np.random.default_rng(0)
@@ -119,7 +121,7 @@ def main():
     t_int8 = timeit(
         lambda q_, kp_, vp_: paged_flash_decode(
             q_, kp_, vp_, tables, ctx, sc_shards=1, block_size=BSZ,
-            scale=scale,
+            scale=scale, dequant_mode=args.dequant,
         ),
         q, kp8s, vp8,
     )
