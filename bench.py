@@ -37,6 +37,9 @@ def main():
     model = os.environ.get("BENCH_MODEL", "8b")  # 0.6b | 1.7b | 4b | 8b
     kv_mode = os.environ.get("BENCH_KV_MODE", "staged")  # staged | scatter
     hbm_util = float(os.environ.get("BENCH_HBM", 0.9))
+    # Chunked prefill budget (tokens per prefill step, multiple of the
+    # block size; 0 disables). "default" keeps the Config default.
+    chunk_env = os.environ.get("BENCH_CHUNK", "default")
     if model == "8b" and "LV_HBM_BYTES" not in os.environ:
         # The tunnel transport reports no memory stats, and with the AOT
         # sizing probe disabled (below) the 16 GiB reconstruction default
@@ -115,6 +118,11 @@ def main():
         # tests, and cost ~20 tunnel compiles (many minutes) here.
         warmup_shapes=False,
         kv_size_probe=False,
+        **(
+            {}
+            if chunk_env == "default"
+            else {"prefill_chunk_tokens": int(chunk_env)}
+        ),
     )
     rng = __import__("numpy").random.default_rng(0)
     sp = SamplingParams(
@@ -178,11 +186,25 @@ def main():
     t_submit2 = time.perf_counter()
     ttft2: dict[int, float] = {}
     guard = 0
-    while len(ttft2) < batch and guard < 200:
+    # Warm prefill throughput: tokens/s over the prefill steps of this
+    # mixed phase (every executable compiled — the serving-rate number; the
+    # cold prefill_tok_s above is compile-dominated). Plus decode window
+    # GAPS: wall time between consecutive decode-window completions while
+    # prompts are being admitted — the inter-token QoS that chunked prefill
+    # exists to bound (one monolithic long-prompt prefill stalls every
+    # running decode for its full duration).
+    warm_prefill_tokens = 0
+    warm_prefill_s = 0.0
+    decode_gaps: list[float] = []
+    last_decode_t = None
+    while len(ttft2) < batch and guard < 400:
+        t_step = time.perf_counter()
         _, n, is_prefill = eng.step()
+        now = time.perf_counter()
         guard += 1
         if is_prefill:
-            now = time.perf_counter()
+            warm_prefill_tokens += n
+            warm_prefill_s += now - t_step
             for s in eng.scheduler.running:
                 if (
                     s.num_completion_tokens == 1
@@ -190,8 +212,14 @@ def main():
                     and s.seq_id not in ttft2
                 ):
                     ttft2[s.seq_id] = now - t_submit2
+        else:
+            if last_decode_t is not None:
+                decode_gaps.append(now - last_decode_t)
+            last_decode_t = now
     warm = sorted(ttft2.values())
     p50_ttft_warm = warm[len(warm) // 2] if warm else 0.0
+    gaps = sorted(decode_gaps)
+    gap_p99 = gaps[min(len(gaps) - 1, int(len(gaps) * 0.99))] if gaps else 0.0
 
     tok_per_s = done / decode_s
     result = {
@@ -204,7 +232,16 @@ def main():
         # compile. prefill_tok_s is the cold admission-phase rate.
         "p50_ttft_s": round(p50_ttft_warm, 3),
         "p50_ttft_cold_s": round(p50_ttft, 3),
-        "prefill_tok_s": round(prefill_tokens / prefill_s, 1) if prefill_s else 0.0,
+        "prefill_tok_s": round(
+            warm_prefill_tokens / warm_prefill_s, 1
+        ) if warm_prefill_s else 0.0,
+        "prefill_cold_tok_s": round(
+            prefill_tokens / prefill_s, 1
+        ) if prefill_s else 0.0,
+        # p99 gap between decode-window completions while prompts admit
+        # (inter-token QoS; bounded by prefill_chunk_tokens when chunking).
+        "decode_gap_p99_s": round(gap_p99, 3),
+        "prefill_chunk_tokens": eng.config.prefill_chunk_tokens,
         "prompt_len": prompt_len,
     }
     print(json.dumps(result))

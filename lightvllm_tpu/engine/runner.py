@@ -200,7 +200,15 @@ class ModelRunner:
             "ModelRunner only ever sees tensor parallelism"
         )
         self.mesh = mesh
-        if mesh is None and config.tensor_parallel_size > 1:
+        if mesh is None and (
+            config.tensor_parallel_size > 1
+            # Explicit tp_mode="shard_map" at tp=1 builds a 1-device mesh:
+            # the exact production combination (Pallas kernels INSIDE
+            # shard_map bodies under real Mosaic) then runs on a single
+            # chip — the smoke gate uses this to execute the multi-chip
+            # serving path without multi-chip hardware (VERDICT r4 next#3).
+            or config.tp_mode == "shard_map"
+        ):
             from lightvllm_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh(config.tensor_parallel_size, 1)

@@ -133,6 +133,30 @@ def main():
         flush=True,
     )
 
+    # Engine-path case: int8 + staged tail (the production decode step
+    # inside the fused window always carries the W-row staging buffers) and
+    # RANDOM page tables (the allocator interleaves pages across seqs).
+    W = int(os.environ.get("PROF_STAGE_W", 32))
+    ks = jnp.asarray(rng.standard_normal((B, Hkv, W, D)), jnp.bfloat16)
+    vs = jnp.asarray(rng.standard_normal((B, Hkv, W, D)), jnp.bfloat16)
+    stage_len = jnp.int32(W // 2)
+    tables_rnd = jnp.asarray(
+        rng.permutation(NBtot).reshape(B, NB).astype(np.int32)
+    )
+    t_stage = timeit(
+        lambda q_, kp_, vp_, ks_, vs_: paged_flash_decode(
+            q_, kp_, vp_, tables_rnd, ctx, ks_, vs_, stage_len,
+            sc_shards=1, block_size=BSZ, scale=scale,
+            dequant_mode=args.dequant,
+        ),
+        q, kp8s, vp8, ks, vs,
+    )
+    print(
+        f"int8+stage(W={W},rnd tables): {t_stage*1e6:8.1f} us "
+        f"({kv_bytes8/t_stage/1e9:6.1f} GB/s eff)",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -146,7 +146,156 @@ def unpack_v0_i8(w_i8):
     return jnp.concatenate([low, high], axis=1).astype(jnp.int8)
 
 
-def run_variant(name, unpack, x, data, scale, bits=4, tile_o=0):
+def make_kernel_split(mode):
+    """Split-dot variants on offset-binary packed data: never materialize
+    the concatenated (gs, TO) tile — two K=gs/2 dots against the l and h
+    planes instead (split-half packing pairs x[:gs/2] with low nibbles and
+    x[gs/2:] with high nibbles).
+
+    mode="vsplit": weight-side unpack = and + 2 converts + sub + sub/mul.
+    mode="vfold":  weight-side unpack = and + 2 converts ONLY; the -8 bias
+      and /16 scaling fold into the (tiny) x operand and a rank-1
+      post-matmul correction:
+        u  = conv(b & 0xF)            = l + 8
+        wf = conv(b)                  = 16h + l + 8
+        dot(x_l - x_h/16, u) + dot(x_h/16, wf) - 8*sum(x_l)
+          = dot(x_l, l) + dot(x_h, h)
+    """
+    def kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype, nk):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        mm_dt = jnp.bfloat16
+        b = w_ref[...]  # (KG, gsp, TO) offset-binary packed
+        gsp = b.shape[1]
+        x = x_ref[...]  # (KG, TT, gs)
+        x_l = x[:, :, :gsp].astype(jnp.float32)
+        x_h = x[:, :, gsp:].astype(jnp.float32)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        if mode == "vsplit":
+            u = (b & 0x0F).astype(mm_dt)
+            wf = b.astype(jnp.float32)
+            h = ((wf - u.astype(jnp.float32)) * (1.0 / 16.0)).astype(mm_dt)
+            l = u - jnp.asarray(8.0, mm_dt)
+            partial = jax.lax.dot_general(
+                x_l.astype(mm_dt), l, dn, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                x_h.astype(mm_dt), h, dn, preferred_element_type=jnp.float32
+            )
+        else:  # vfold
+            u = (b & 0x0F).astype(mm_dt)
+            wf = b.astype(mm_dt)
+            xh16 = x_h * (1.0 / 16.0)
+            xm = (x_l - xh16).astype(mm_dt)
+            corr = 8.0 * jnp.sum(x_l, axis=2, keepdims=True)  # (KG, TT, 1)
+            partial = (
+                jax.lax.dot_general(
+                    xm, u, dn, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    xh16.astype(mm_dt), wf, dn,
+                    preferred_element_type=jnp.float32,
+                )
+                - corr
+            )
+        acc_ref[...] += jnp.sum(partial * s_ref[...], axis=0)
+
+        @pl.when(k == nk - 1)
+        def _write():
+            o_ref[...] = acc_ref[...].astype(out_dtype)
+
+    return kernel
+
+
+def make_kernel_w4a8():
+    """W4A8 with AND-only unpack on offset-low packing (b = (h<<4)|(l+8)):
+      u8  = b & 0x0F  -> l + 8   (int8, [0,16))
+      h16 = b & 0xF0  -> 16*h    (int8, exact two's complement)
+    No shifts, no int8 add/sub, no concat. Two s8 x s8 -> s32 dots (K=gs/2
+    each, batched over KG); the -8 bias and /16 fold into f32 post ops.
+    """
+    def kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype, nk):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        b = w_ref[...]  # (KG, gsp, TO) offset-low packed
+        gsp = b.shape[1]
+        u8 = b & 0x0F
+        h16 = b & jnp.asarray(0xF0 - 256, jnp.int8)  # 0xF0 as signed int8
+        xg = x_ref[...].astype(jnp.float32)  # (KG, TT, gs)
+        ax = jnp.max(jnp.abs(xg), axis=2, keepdims=True)
+        sx = jnp.maximum(ax, 1e-30) / 127.0
+        xq = jnp.round(xg / sx).astype(jnp.int8)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        xq_l = xq[:, :, :gsp]
+        p_l = jax.lax.dot_general(
+            xq_l, u8, dn, preferred_element_type=jnp.int32
+        )
+        p_h = jax.lax.dot_general(
+            xq[:, :, gsp:], h16, dn, preferred_element_type=jnp.int32
+        )
+        corr = 8.0 * jnp.sum(
+            xq_l.astype(jnp.float32), axis=2, keepdims=True
+        )  # exact: |sum| < 2^17
+        partial = (
+            p_l.astype(jnp.float32) - corr
+            + p_h.astype(jnp.float32) * (1.0 / 16.0)
+        )
+        acc_ref[...] += jnp.sum(partial * (sx * s_ref[...]), axis=0)
+
+        @pl.when(k == nk - 1)
+        def _write():
+            o_ref[...] = acc_ref[...].astype(out_dtype)
+
+    return kernel
+
+
+def make_kernel_w8a8_offs():
+    """W8A8 on offset-binary data with int8-native unpack: and + int8 subs,
+    no int32 widening, no concat; two s8 x s8 -> s32 dots (K=gs/2). The /16
+    on the high plane (stored as 16h) folds into its rescale factor."""
+    def kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype, nk):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        b = w_ref[...]  # (KG, gsp, TO) offset packed
+        gsp = b.shape[1]
+        u8 = b & 0x0F  # l + 8, int8 in [0, 16)
+        l8 = u8 - jnp.asarray(8, jnp.int8)  # int8 sub
+        h16 = b - u8  # 16h, int8 (exact, in [-128, 112])
+        xg = x_ref[...].astype(jnp.float32)  # (KG, TT, gs)
+        ax = jnp.max(jnp.abs(xg), axis=2, keepdims=True)
+        sx = jnp.maximum(ax, 1e-30) / 127.0
+        xq = jnp.round(xg / sx).astype(jnp.int8)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        p_l = jax.lax.dot_general(
+            xq[:, :, :gsp], l8, dn, preferred_element_type=jnp.int32
+        )
+        p_h = jax.lax.dot_general(
+            xq[:, :, gsp:], h16, dn, preferred_element_type=jnp.int32
+        )
+        partial = p_l.astype(jnp.float32) + p_h.astype(jnp.float32) * (
+            1.0 / 16.0
+        )
+        acc_ref[...] += jnp.sum(partial * (sx * s_ref[...]), axis=0)
+
+        @pl.when(k == nk - 1)
+        def _write():
+            o_ref[...] = acc_ref[...].astype(out_dtype)
+
+    return kernel
+
+
+def run_variant(name, unpack, x, data, scale, bits=4, tile_o=0, ref_data=None):
     groups, gsp, out = data.shape
     gs = gsp * 2 if bits == 4 else gsp
     in_f = groups * gs
@@ -157,10 +306,16 @@ def run_variant(name, unpack, x, data, scale, bits=4, tile_o=0):
     TO, KG = _plan_tiles(Tp, TT, groups, gsp, out, tile_o, 2048, gs)
     nk = groups // KG
 
-    kernel_fn = (
-        make_kernel_w8a8(unpack) if name.startswith("w8a8")
-        else make_kernel(unpack)
-    )
+    if name == "w4a8":
+        kernel_fn = make_kernel_w4a8()
+    elif name == "w8a8_offs":
+        kernel_fn = make_kernel_w8a8_offs()
+    elif name.startswith("w8a8"):
+        kernel_fn = make_kernel_w8a8(unpack)
+    elif name in ("vsplit", "vfold"):
+        kernel_fn = make_kernel_split(name)
+    else:
+        kernel_fn = make_kernel(unpack)
 
     @jax.jit
     def f(xg, data, scale):
@@ -207,8 +362,9 @@ def run_variant(name, unpack, x, data, scale, bits=4, tile_o=0):
     # numerics vs oracle (on the ORIGINAL packing for repacked variants the
     # caller passes a matching oracle x/data pair)
     from lightvllm_tpu.ops.quantization import QuantizedTensor
-    if "offs" not in name:
-        ref = quantized_matmul(x, QuantizedTensor(data=data, scale=scale, bits=bits))
+    rd = data if ref_data is None else ref_data
+    if True:
+        ref = quantized_matmul(x, QuantizedTensor(data=rd, scale=scale, bits=bits))
         got = f(xg, data, scale)[:T]
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))))
         denom = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) or 1.0
@@ -229,7 +385,8 @@ def main():
     args = ap.parse_args()
     key = jax.random.PRNGKey(0)
     fns = {"v0": unpack_v0, "vfloat": unpack_vfloat, "vand": unpack_vand,
-           "voffs": unpack_voffs, "w8a8": unpack_v0_i8}
+           "voffs": unpack_voffs, "w8a8": unpack_v0_i8,
+           "vsplit": None, "vfold": None, "w8a8_offs": None, "w4a8": None}
     for s in args.shapes.split(","):
         in_f, out_f = map(int, s.split("x"))
         w = jax.random.normal(key, (in_f, out_f), jnp.float32) * 0.02
@@ -237,10 +394,12 @@ def main():
         d_offs = repack_offs(q4.data)
         x = jax.random.normal(key, (args.t, in_f), jnp.bfloat16)
         print(f"=== {in_f}x{out_f} T={args.t} int4 gs128 ===", flush=True)
+        offs_variants = ("voffs", "vsplit", "vfold", "w8a8_offs", "w4a8")
         for to in args.tile_o:
             for v in args.variants.split(","):
-                data = d_offs if v == "voffs" else q4.data
-                run_variant(v, fns[v], x, data, q4.scale, tile_o=to)
+                data = d_offs if v in offs_variants else q4.data
+                run_variant(v, fns[v], x, data, q4.scale, tile_o=to,
+                            ref_data=q4.data if v in offs_variants else None)
 
 
 if __name__ == "__main__":

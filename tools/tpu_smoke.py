@@ -238,6 +238,48 @@ def main():
     if not ok:
         FAILURES.append(f"engine e2e: {tok_p} vs {tok_j}")
 
+    # ---- shard_map x Pallas under real Mosaic (VERDICT r4 next#3) ------
+    # The multi-chip serving path runs pallas_calls INSIDE shard_map
+    # bodies; a ("model", 1) 1-device mesh exercises exactly that
+    # combination on one chip. Token-exact vs the mesh-free Pallas run.
+    def run_sm(quant=None, kv="auto"):
+        import jax.random as jrandom
+
+        p = (
+            params
+            if quant is None
+            else qwen3.init_params(spec, jrandom.PRNGKey(0), quantization=quant)
+        )
+        eng = LLMEngine(
+            spec=spec, params=p, kvcache_block_size=64,
+            num_kvcache_blocks=32, max_model_len=256, max_num_seqs=4,
+            eos=-1, attention_impl="pallas", warmup_shapes=False,
+            kv_size_probe=False, tensor_parallel_size=1,
+            tp_mode="shard_map", quantization=quant, kv_cache_dtype=kv,
+        )
+        assert eng.model_runner.tp_mode == "shard_map"
+        assert eng.model_runner.mesh is not None
+        return [r["token_ids"] for r in eng.generate(prompts, sp, use_tqdm=False)]
+
+    tok_sm = run_sm()
+    ok = tok_sm == tok_p
+    print(f"[{time.time()-T0:5.1f}s] {'PASS' if ok else 'FAIL'} "
+          f"shard_map(1-dev mesh) x Pallas under Mosaic: greedy tokens "
+          f"match mesh-free", flush=True)
+    if not ok:
+        FAILURES.append(f"shard_map e2e: {tok_sm} vs {tok_p}")
+
+    # Same combination with the quantized serving config (int4 + int8 KV):
+    # shard_map bodies then also run the fused dequant+matmul and the
+    # int8 in-page-scale attention/flush kernels under Mosaic.
+    tok_smq = run_sm(quant="int4", kv="int8")
+    ok = all(len(t) == sp.max_tokens for t in tok_smq)
+    print(f"[{time.time()-T0:5.1f}s] {'PASS' if ok else 'FAIL'} "
+          f"shard_map(1-dev mesh) x Pallas int4+int8KV: decoded "
+          f"{[len(t) for t in tok_smq]} tokens", flush=True)
+    if not ok:
+        FAILURES.append("shard_map int4+int8kv e2e")
+
     print(f"\n{'SMOKE GATE PASS' if not FAILURES else 'SMOKE GATE FAIL'} "
           f"({time.time()-T0:.0f}s)", flush=True)
     sys.exit(1 if FAILURES else 0)
