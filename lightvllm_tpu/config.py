@@ -27,6 +27,12 @@ class Config:
     quantization: str | None = None  # None | "int8" | "int4"
     quant_group_size: int = 128  # group size along in_features for int4
     quantized_checkpoint: str = ""  # .npz from tools/quantize_checkpoint.py
+    # int4 serving payload layout: "offs" repacks the low nibble to
+    # offset-binary at runner init so the fused kernel unpacks with one AND
+    # + two converts (x-side fold; +11% at decode T=64, tools/
+    # profile_unpack.py vfold2). "split" keeps the canonical checkpoint
+    # packing (A/B fallback).
+    int4_packing: str = "offs"
     kv_cache_dtype: str = "auto"  # "auto" (= model dtype) | "fp8" | "int8"
     # Quantize the LM head / tied-head contraction to int8 when weight
     # quantization is on: decode streams the full (E, V) head every step
@@ -104,6 +110,7 @@ class Config:
         assert self.tensor_parallel_size >= 1
         assert self.data_parallel_size >= 1
         assert self.quantization in (None, "int8", "int4")
+        assert self.int4_packing in ("split", "offs")
         assert self.kv_cache_dtype in ("auto", "fp8", "int8")
         assert self.attention_impl in ("auto", "jnp", "pallas")
         assert self.kernel_backend in ("native", "pallas")

@@ -268,6 +268,21 @@ class ModelRunner:
                 params = qwen3.fuse_projection_params(params, _S)
                 spec = _dc.replace(spec, tp_shards=_S)
                 self.spec = spec
+        # int4 serving payload: repack split-half signed nibbles to
+        # offset-binary-low ONCE at init (value-preserving byte transform)
+        # so every fused matmul unpacks with one AND + two converts via the
+        # x-side fold (ops/pallas/quant_matmul.py, +11% at decode T).
+        if config.int4_packing == "offs":
+            from lightvllm_tpu.ops.quantization import (
+                QuantizedTensor as _QT,
+                repack_offs,
+            )
+
+            params = jax.tree.map(
+                lambda x: repack_offs(x) if isinstance(x, _QT) else x,
+                params,
+                is_leaf=lambda x: x is None or isinstance(x, _QT),
+            )
         if self.mesh is not None:
             from lightvllm_tpu.parallel.sharding import shard_params
 

@@ -105,18 +105,21 @@ def _decode_kernel(
     npages_ref,  # (B,) int32 valid pages per seq (>= 1): gates page DMAs
     stage_len_ref,  # (1,) int32 (number of valid staging rows; 0 = no stage)
     # inputs
-    q_ref,  # (1, Hkv, Gp, D) VMEM
+    q_ref,  # (1, HG = Hkv*Gp, D) VMEM — Gp is the MINIMAL group pad
     k_hbm,  # (NBtot, Hkv [+ scale heads], BSZ, D) ANY (HBM), one layer
     v_hbm,  # (NBtot, Hkv, BSZ, D)
     # [ks_ref, vs_ref] when has_stage: (1, Hkv, W, D) VMEM staging tail
     # outputs
-    # o_ref (1, Hkv, Gp, D) f32 VMEM
-    # scratch: m_ref, l_ref (Hkv*Gp, 128) f32; k_buf/v_buf; sems; smem flags
+    # o_ref (1, HG, D) f32 VMEM
+    # scratch: m_ref, l_ref (HG, 128) f32; hmask_ref (HG, Tbig) f32
+    #          additive head mask (0 / MASK, grid-invariant, built once);
+    #          k_buf/v_buf; sems; smem flags
     *refs,
     block_size: int,
     ppcb: int,
     scale: float,
     num_kv_heads: int,
+    group_pad: int,  # Gp: queries per kv head incl. minimal sublane pad
     has_stage: bool,
     has_scale: bool = False,  # int8 pages with in-page scale heads
     dequant_mode: str = "fold",  # "fold" (into q / output) | "page"
@@ -126,8 +129,11 @@ def _decode_kernel(
         ks_ref, vs_ref = refs.pop(0), refs.pop(0)
     else:
         ks_ref = vs_ref = None
-    o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem = refs[:7]
-    buf_idx_ref, init_ref = refs[7:]
+    (
+        o_ref, m_ref, l_ref, hmask_ref, relpos_ref, k_buf, v_buf,
+        k_sem, v_sem,
+    ) = refs[:9]
+    buf_idx_ref, init_ref = refs[9:]
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_b = pl.num_programs(0)
@@ -152,6 +158,24 @@ def _decode_kernel(
         init_ref[0] = 0
         k_buf[...] = jnp.zeros_like(k_buf)
         v_buf[...] = jnp.zeros_like(v_buf)
+        # Grid-invariant mask ingredients, built ONCE: the additive head
+        # mask (0 on diagonal blocks, MASK off them) and the within-chunk
+        # token positions (chunk-relative, so `pos < ctx` becomes a
+        # broadcast compare against ctx - chunk_base). The old per-chunk
+        # iota/div/mod/compare/and/select chain on (HG, Tbig) was ~half the
+        # kernel's VPU time.
+        HGm, Tm = hmask_ref.shape
+        rh = jax.lax.broadcasted_iota(jnp.int32, (HGm, Tm), 0) // group_pad
+        colm = jax.lax.broadcasted_iota(jnp.int32, (HGm, Tm), 1)
+        ch = (colm // block_size) % num_kv_heads
+        hmask_ref[...] = jnp.where(rh == ch, 0.0, MASK_VALUE)
+        colr = jax.lax.broadcasted_iota(
+            jnp.int32, relpos_ref.shape, 1
+        )
+        relpos_ref[...] = (
+            (colr // (num_kv_heads * block_size)) * block_size
+            + colr % block_size
+        ).astype(jnp.float32)
 
     @pl.when(chunk_valid(b, i))
     def _body():
@@ -214,11 +238,12 @@ def _decode_kernel(
             npages_ref, b, i, ppcb,
         )
 
-        Hkv, Gp = q_ref.shape[1], q_ref.shape[2]
-        HG = Hkv * Gp
+        Hkv = num_kv_heads
+        Gp = group_pad
+        HG = q_ref.shape[1]  # Hkv * Gp
         Tbig = ppcb * Hkv * block_size
         cd = _compute_dtype(k_buf.dtype)
-        q = (q_ref[0].astype(jnp.float32) * scale).reshape(HG, -1)
+        q = q_ref[0].astype(jnp.float32) * scale  # (HG, D)
         kslab = k_buf[buf_idx]  # (ppcb, Hkv [+Sh], BSZ, D)
         if has_scale:
             # In-page scales rode the K page DMA we just waited on.
@@ -269,11 +294,12 @@ def _decode_kernel(
                 preferred_element_type=jnp.float32,
             )  # (HG, Tbig)
 
-        row_head = jax.lax.broadcasted_iota(jnp.int32, (HG, Tbig), 0) // Gp
-        col = jax.lax.broadcasted_iota(jnp.int32, (HG, Tbig), 1)
-        col_head = (col // block_size) % Hkv
-        pos = i * chunk_tokens + (col // (Hkv * block_size)) * block_size + col % block_size
-        s = jnp.where((row_head == col_head) & (pos < ctx), s, MASK_VALUE)
+        # Masking: one add (precomputed head mask) + one broadcast compare/
+        # select (precomputed within-chunk positions vs ctx - chunk base) —
+        # replaces the old per-chunk iota/div/mod/compare/and/select chain
+        # (~half the kernel's VPU time at decode shapes).
+        lim = (ctx - i * chunk_tokens).astype(jnp.float32)
+        s = jnp.where(relpos_ref[:1] < lim, s + hmask_ref[...], MASK_VALUE)
 
         m_prev = m_ref[:, :1]  # (HG, 1)
         l_prev = l_ref[:, :1]
@@ -319,8 +345,7 @@ def _decode_kernel(
             o_cur = jax.lax.dot(
                 p.astype(cd), v, preferred_element_type=jnp.float32
             )  # (HG, D)
-        o_prev = o_ref[0].reshape(HG, -1)
-        o_ref[0] = (o_prev * alpha + o_cur).reshape(o_ref.shape[1:])
+        o_ref[0] = o_ref[0] * alpha + o_cur  # (HG, D)
 
         # On this sequence's last real chunk: fold in the dense staging tail
         # (the current decode window's unflushed tokens), then normalize.
@@ -355,12 +380,10 @@ def _decode_kernel(
                 o2 = jax.lax.dot(
                     p2.astype(cd), vs, preferred_element_type=jnp.float32
                 )
-                o_ref[0] = (
-                    o_ref[0].reshape(HG, -1) * alpha2 + o2
-                ).reshape(o_ref.shape[1:])
+                o_ref[0] = o_ref[0] * alpha2 + o2
             l = l_ref[:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0] = (o_ref[0].reshape(HG, -1) * l_inv).reshape(o_ref.shape[1:])
+            o_ref[0] = o_ref[0] * l_inv
 
 
 @functools.partial(
@@ -395,7 +418,15 @@ def paged_flash_decode(
     # jnp oracle path (ops/kv_cache.gather_kv_for_seqs).
     assert sc_shards in (0, 1), sc_shards
     G = Hq // Hkv
-    Gp = max(G, 8)  # fp32 sublane tile
+    # MINIMAL group pad: HG = Hkv*Gp only needs to land on the fp32
+    # sublane tile (8 rows). The old per-head pad (Gp = max(G, 8)) doubled
+    # every score-matrix row at the 8B ratio (G=4 -> 8, HG 32 -> 64) —
+    # i.e. 2x the mask/exp VPU work and 2x the matmul rows, for rows that
+    # were sliced away.
+    Gp = G
+    while (Hkv * Gp) % 8:
+        Gp += 1
+    HG = Hkv * Gp
     NB = block_tables.shape[1]
     ppcb = min(ppcb, NB)
     num_chunks = -(-NB // ppcb)
@@ -411,16 +442,21 @@ def paged_flash_decode(
         steps < num_pages[:, None], padded_tables, padded_tables[:, :1]
     )
 
-    qg = q.reshape(B, Hkv, G, D)
+    # (B, Hq, D) rows are already grouped by kv head; when Gp == G the q
+    # array passes through UNCHANGED (no relayout, no padding rows).
     if Gp != G:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+        qg = jnp.pad(
+            q.reshape(B, Hkv, G, D), ((0, 0), (0, 0), (0, Gp - G), (0, 0))
+        ).reshape(B, HG, D)
+    else:
+        qg = q
 
     if stage_len is None:
         stage_len = jnp.int32(0)
     stage_len = jnp.reshape(stage_len, (1,)).astype(jnp.int32)
 
     in_specs = [
-        pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
+        pl.BlockSpec((1, HG, D), lambda b, i, *_: (b, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -433,9 +469,12 @@ def paged_flash_decode(
         ]
         inputs += [k_stage, v_stage]
 
+    Tbig = ppcb * Hkv * block_size
     scratch_shapes = [
-        pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
-        pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+        pltpu.VMEM((HG, 128), jnp.float32),
+        pltpu.VMEM((HG, 128), jnp.float32),
+        pltpu.VMEM((HG, Tbig), jnp.float32),  # additive head mask
+        pltpu.VMEM((8, Tbig), jnp.float32),  # within-chunk positions
         pltpu.VMEM((2, ppcb, k_pages.shape[1], block_size, D), k_pages.dtype),
         pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
         pltpu.SemaphoreType.DMA((2,)),
@@ -448,7 +487,7 @@ def paged_flash_decode(
         num_scalar_prefetch=4,
         grid=(B, num_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hkv, Gp, D), lambda b, i, *_: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, HG, D), lambda b, i, *_: (b, 0, 0)),
         scratch_shapes=scratch_shapes,
     )
 
@@ -459,12 +498,13 @@ def paged_flash_decode(
             ppcb=ppcb,
             scale=scale,
             num_kv_heads=Hkv,
+            group_pad=Gp,
             has_stage=has_stage,
             has_scale=has_scale,
             dequant_mode=dequant_mode,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gp, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, HG, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -472,4 +512,6 @@ def paged_flash_decode(
         interpret=pltpu.InterpretParams() if interpret else False,
     )
     out = kernel(clamped_tables, ctx_lens, num_pages, stage_len, *inputs)
-    return out[:, :, :G].reshape(B, Hq, D).astype(q.dtype)
+    if Gp != G:
+        out = out.reshape(B, Hkv, Gp, D)[:, :, :G]
+    return out.reshape(B, Hq, D).astype(q.dtype)

@@ -312,6 +312,12 @@ def paged_flash_prefill(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, Sqp * G, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # The default 16 MB scoped-VMEM budget is 124 KB short at
+            # G=4 (Hq=32) tq=128: q/o pipeline blocks (6 MB) + m/l (4 MB)
+            # + double-buffered pages (4 MB) + the (rows, chunk) score
+            # temps. First caught by tools/tpu_smoke.py under real Mosaic
+            # (interpret mode has no VMEM model).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )

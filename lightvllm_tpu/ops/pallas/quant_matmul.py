@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _quant_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype,
-                         nk, bits):
+                         nk, bits, unpack="split"):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -48,16 +48,31 @@ def _quant_matmul_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, out_dtype,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     w_i8 = w_ref[...]  # (KG, gsp, TO) int8, nibble-packed when bits == 4
-    if bits == 4:
-        # Mosaic doesn't legalize shifts (or add/sub) on int8 vectors;
-        # widen to int32. Split-half packing: row j holds group elements
-        # j (low nibble) and j + gs//2 (high nibble).
-        w32 = w_i8.astype(jnp.int32)
-        low = (w32 << 28) >> 28  # sign-extended low nibble
-        high = w32 >> 4  # arithmetic shift sign-extends the high nibble
-        w_i8 = jnp.concatenate([low, high], axis=1)
     mm_dt = jnp.float32 if out_dtype == jnp.float32 else jnp.bfloat16
-    wb = w_i8.astype(mm_dt)  # hardware-fast int->float convert
+    if bits == 4 and unpack == "fold2":
+        # Offset-binary-low packing + x-side fold (tools/profile_unpack.py
+        # vfold2, +11% at decode T=64): W2 = [conv(b & 0xF); conv(b)]
+        # = [l + 8; 16h + l + 8] needs ONE int8 AND + two int8->float
+        # converts — no shifts, no int32 widen. The host passes
+        # x2 = [x_l - x_h/16; x_h/16] so the K=gs dot directly yields
+        # dot(x_l, l+8) + dot(x_h, h); the -8*sum(x_l) bias is a host-side
+        # rank-groups correction (see quant_matmul_pallas).
+        u = (w_i8 & 0x0F).astype(mm_dt)
+        wb = jnp.concatenate([u, w_i8.astype(mm_dt)], axis=1)
+    else:
+        if bits == 4:
+            # Mosaic doesn't legalize shifts (or add/sub) on int8 vectors;
+            # widen to int32. Split-half packing: row j holds group
+            # elements j (low nibble) and j + gs//2 (high nibble); "offs"
+            # packing stores the low nibble offset-binary (l + 8).
+            w32 = w_i8.astype(jnp.int32)
+            if unpack == "offs":
+                low = (w32 & 0x0F) - 8
+            else:
+                low = (w32 << 28) >> 28  # sign-extended low nibble
+            high = w32 >> 4  # arithmetic shift sign-extends the high nibble
+            w_i8 = jnp.concatenate([low, high], axis=1)
+        wb = w_i8.astype(mm_dt)  # hardware-fast int->float convert
     xg = x_ref[...]  # (KG, TT, gs)
     precision = jax.lax.Precision.HIGHEST if mm_dt == jnp.float32 else None
     partial = jax.lax.dot_general(
@@ -134,7 +149,10 @@ def _plan_tiles(Tp, TT, groups, gsp, out, tile_o, tile_k, gs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "tile_t", "tile_o", "tile_k", "interpret")
+    jax.jit,
+    static_argnames=(
+        "bits", "tile_t", "tile_o", "tile_k", "interpret", "packing"
+    ),
 )
 def quant_matmul_pallas(
     x: jnp.ndarray,  # (..., In) bf16/f32
@@ -144,6 +162,7 @@ def quant_matmul_pallas(
     tile_t: int = 256,
     tile_o: int = 0,  # 0 = auto
     tile_k: int = 2048,  # contraction elements per grid step (whole groups)
+    packing: str = "split",  # int4 payload: "split" | "offs"
     interpret: bool = False,
 ) -> jnp.ndarray:  # (..., Out) in x.dtype
     lead = x.shape[:-1]
@@ -164,10 +183,26 @@ def quant_matmul_pallas(
     TO, KG = _plan_tiles(Tp, TT, groups, gsp, out, tile_o, tile_k, gs)
     nk = groups // KG
 
+    # x-side fold (offs packing, decode-T only — measured +11% at T=64,
+    # -3% at T=128, tools/profile_unpack.py): x2 = [x_l - x_h/16; x_h/16]
+    # turns the kernel's unpack into one AND + two converts; the -8*sum(x_l)
+    # bias is added back below as a rank-groups outer product vs the scales.
+    unpack = packing
+    corr = None
+    if bits == 4 and packing == "offs" and Tp <= 64:
+        unpack = "fold2"
+        xl = xg[:, :, :gsp].astype(jnp.float32)
+        xh = xg[:, :, gsp:].astype(jnp.float32)
+        xg = jnp.concatenate(
+            [xl - xh * (1.0 / 16.0), xh * (1.0 / 16.0)], axis=2
+        ).astype(x.dtype)
+        corr = -8.0 * jnp.sum(xl, axis=2)  # (groups, Tp)
+
     grid = (Tp // TT, out // TO, nk)
     res = pl.pallas_call(
         functools.partial(
-            _quant_matmul_kernel, out_dtype=x.dtype, nk=nk, bits=bits
+            _quant_matmul_kernel, out_dtype=x.dtype, nk=nk, bits=bits,
+            unpack=unpack,
         ),
         grid=grid,
         in_specs=[
@@ -201,4 +236,8 @@ def quant_matmul_pallas(
         ),
         interpret=interpret,
     )(xg, data, scale)
+    if corr is not None:
+        res = res + jnp.einsum(
+            "gt,go->to", corr, scale[:, 0, :]
+        ).astype(res.dtype)
     return res[:T].reshape(*lead, out)

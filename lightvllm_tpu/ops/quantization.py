@@ -21,7 +21,7 @@ import jax.numpy as jnp
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data", "scale"],
-    meta_fields=["bits"],
+    meta_fields=["bits", "packing"],
 )
 @dataclass(frozen=True)
 class QuantizedTensor:
@@ -34,11 +34,18 @@ class QuantizedTensor:
            element j in the low nibble and element j + gs//2 in the high
            nibble, so unpacking is two shifts + a concat (no interleave).
     scale: (groups, 1, out) float32 symmetric per-(group, out) scale.
+    packing (int4 only): "split" = signed two's-complement nibbles (the
+           canonical/checkpoint format); "offs" = the low nibble stored
+           offset-binary (l + 8, high nibble unchanged) — the serving
+           format the runner repacks to at init, which the fused kernel
+           unpacks with one AND + two int8->bf16 converts (no shifts, no
+           int32 widen; tools/profile_unpack.py vfold2, +11% at decode T).
     """
 
     data: jnp.ndarray
     scale: jnp.ndarray
     bits: int
+    packing: str = "split"
 
     @property
     def group_size(self):
@@ -66,11 +73,28 @@ def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
     return ((low & 0x0F) | (high << 4)).astype(jnp.int8)
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+def unpack_int4(packed: jnp.ndarray, packing: str = "split") -> jnp.ndarray:
     """(groups, gs//2, out) packed int8 -> (groups, gs, out) int8 [-8, 7]."""
-    low = ((packed << 4).astype(jnp.int8)) >> 4  # sign-extended low nibble
     high = packed >> 4  # arithmetic shift sign-extends the high nibble
+    if packing == "offs":
+        low = (packed & 0x0F).astype(jnp.int8) - 8  # offset-binary low
+    else:
+        low = ((packed << 4).astype(jnp.int8)) >> 4  # sign-extended low
     return jnp.concatenate([low, high], axis=1)
+
+
+def repack_offs(qt: QuantizedTensor) -> QuantizedTensor:
+    """split-half signed int4 -> offset-binary-low serving format (value-
+    preserving byte transform: b' = ((l + 8) & 0xF) | ((h & 0xF) << 4))."""
+    if qt.bits != 4 or qt.packing == "offs":
+        return qt
+    w32 = qt.data.astype(jnp.int32)
+    low = (w32 << 28) >> 28
+    high = w32 >> 4
+    data = (((low + 8) & 0x0F) | ((high & 0x0F) << 4)).astype(jnp.int8)
+    return QuantizedTensor(
+        data=data, scale=qt.scale, bits=4, packing="offs"
+    )
 
 
 def quantize_weight(
@@ -139,7 +163,7 @@ def quantize_weight(
 
 def unpacked_data(qt: QuantizedTensor) -> jnp.ndarray:
     """(groups, gs, out) int8 view of the (possibly packed) payload."""
-    return unpack_int4(qt.data) if qt.bits == 4 else qt.data
+    return unpack_int4(qt.data, qt.packing) if qt.bits == 4 else qt.data
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -197,7 +221,9 @@ def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
         if _use_pallas_quant(w.out_features):
             from lightvllm_tpu.ops.pallas.quant_matmul import quant_matmul_pallas
 
-            return quant_matmul_pallas(x, w.data, w.scale, bits=w.bits)
+            return quant_matmul_pallas(
+                x, w.data, w.scale, bits=w.bits, packing=w.packing
+            )
         return quantized_matmul(x, w)
     return jnp.dot(
         x, w, preferred_element_type=jnp.float32, precision=_precision(x)

@@ -36,12 +36,16 @@ def _qspec(out_spec: P, w) -> object:
     """
     i, o = out_spec
     if isinstance(w, QuantizedTensor):
+        # Spec nodes must mirror the tensor's meta fields (bits, packing):
+        # pytree zipping treats them as part of the node type.
         if i is not None and w.data.shape[0] == 1:
             return QuantizedTensor(
-                data=P(None, i, o), scale=P(None, None, o), bits=w.bits
+                data=P(None, i, o), scale=P(None, None, o), bits=w.bits,
+                packing=w.packing,
             )
         return QuantizedTensor(
-            data=P(i, None, o), scale=P(i, None, o), bits=w.bits
+            data=P(i, None, o), scale=P(i, None, o), bits=w.bits,
+            packing=w.packing,
         )
     return out_spec
 
@@ -85,6 +89,7 @@ def param_specs(params: dict) -> dict:
             data=P(None, None, "model"),
             scale=P(None, None, "model"),
             bits=lm_head.bits,
+            packing=lm_head.packing,
         )
     else:
         head_spec = P(None, "model")

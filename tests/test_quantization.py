@@ -135,3 +135,51 @@ def test_int4_clip_search_beats_absmax_on_outlier_rows():
         dequantize(quantize_weight(w2, 4, 128, clip_search=True), jnp.float32) - w2
     )
     assert float(e2) <= float(e1) * 1.001
+
+
+def test_repack_offs_value_preserving():
+    from lightvllm_tpu.ops.quantization import repack_offs, unpacked_data
+
+    w = jax.random.normal(jax.random.PRNGKey(7), (512, 256), jnp.float32)
+    qt = quantize_weight(w, 4)
+    qo = repack_offs(qt)
+    assert qo.packing == "offs" and qo.bits == 4
+    np.testing.assert_array_equal(
+        np.asarray(unpacked_data(qt)), np.asarray(unpacked_data(qo))
+    )
+    # idempotent
+    assert repack_offs(qo) is qo
+
+
+@pytest.mark.parametrize(
+    "T,In,Out",
+    [
+        (1, 256, 128),  # decode T: fold2 (x-side fold) path
+        (64, 512, 384),  # decode T at the production bucket
+        (130, 512, 384),  # large T: offs-v0 unpack path (no fold)
+    ],
+)
+def test_pallas_kernel_offs_packing(T, In, Out):
+    """The serving int4 payload (offset-binary-low repack) through the
+    fused kernel — both the decode-T x-side-fold path and the large-T
+    AND/shift unpack — vs the split-packing jnp oracle."""
+    from lightvllm_tpu.ops.quantization import repack_offs
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(8))
+    x = jax.random.normal(kx, (T, In), jnp.float32)
+    qt = quantize_weight(jax.random.normal(kw, (In, Out), jnp.float32), 4)
+    want = quantized_matmul(x, qt)
+    qo = repack_offs(qt)
+    got = quant_matmul_pallas(
+        x, qo.data, qo.scale, bits=4, packing="offs", interpret=True
+    )
+    # The fold path rounds x_l - x_h/16 once more than the oracle; f32
+    # inputs keep that far below the int4 quantization noise.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=5e-4
+    )
+    # matmul() dispatch consumes the packing field on the jnp path too.
+    got2 = quantized_matmul(x, qo)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want), rtol=1e-5, atol=1e-5
+    )

@@ -30,8 +30,14 @@ def timeit(fn, *args):
     def loop(n_static, q, *rest):
         def body(i, carry):
             q = carry
-            o = fn(q + 0.0 * i, *rest)  # serialize via q dependence
-            return q + 0.0 * o.astype(q.dtype).sum()
+            # Serialize via a REAL data dependence: adding o's first element
+            # scaled by a tiny constant is not algebraically foldable (the
+            # old `q + 0.0 * o.sum()` let XLA fold 0*x -> 0, hoist the
+            # loop-invariant kernel out, and time an empty loop — measured
+            # "bandwidths" above the HBM roofline).
+            o = fn(q, *rest)
+            eps = o.astype(jnp.float32)[:1, :1, :1] * 1e-30
+            return q + eps.astype(q.dtype)
 
         return jax.lax.fori_loop(0, n_static, body, q)
 
@@ -58,7 +64,13 @@ def main():
     ap.add_argument("--ctx", type=int, default=1100)
     ap.add_argument("--hq", type=int, default=16)
     ap.add_argument("--dequant", default="fold", choices=["fold", "page"])
+    ap.add_argument("--ppcb", type=int, default=8)
+    ap.add_argument(
+        "--cases", default="bf16,noscale,int8,stage",
+        help="comma list: bf16,noscale,int8,stage",
+    )
     args = ap.parse_args()
+    cases = set(args.cases.split(","))
 
     from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
 
@@ -73,33 +85,37 @@ def main():
 
     kp = jnp.asarray(rng.standard_normal((NBtot, Hkv, BSZ, D)), jnp.bfloat16)
     vp = jnp.asarray(rng.standard_normal((NBtot, Hkv, BSZ, D)), jnp.bfloat16)
-    t_bf16 = timeit(
-        lambda q_, kp_, vp_: paged_flash_decode(
-            q_, kp_, vp_, tables, ctx, block_size=BSZ, scale=scale
-        ),
-        q, kp, vp,
-    )
     kv_bytes = 2 * B * args.ctx * Hkv * D * 2
-    print(
-        f"bf16:  {t_bf16*1e6:8.1f} us  ({kv_bytes/t_bf16/1e9:6.1f} GB/s eff)",
-        flush=True,
-    )
+    if "bf16" in cases:
+        t_bf16 = timeit(
+            lambda q_, kp_, vp_: paged_flash_decode(
+                q_, kp_, vp_, tables, ctx, block_size=BSZ, scale=scale,
+                ppcb=args.ppcb,
+            ),
+            q, kp, vp,
+        )
+        print(
+            f"bf16:  {t_bf16*1e6:8.1f} us  ({kv_bytes/t_bf16/1e9:6.1f} GB/s eff)",
+            flush=True,
+        )
 
     kp8 = jnp.asarray(rng.integers(-127, 127, (NBtot, Hkv, BSZ, D)), jnp.int8)
     vp8 = jnp.asarray(rng.integers(-127, 127, (NBtot, Hkv, BSZ, D)), jnp.int8)
     # Ablation: int8 pages WITHOUT scales (cast-only) — isolates the cost of
     # the per-page scale DMA stream + the two dequant VPU passes.
-    t_noscale = timeit(
-        lambda q_, kp_, vp_: paged_flash_decode(
-            q_, kp_, vp_, tables, ctx, block_size=BSZ, scale=scale
-        ),
-        q, kp8, vp8,
-    )
-    print(
-        f"int8-noscale: {t_noscale*1e6:8.1f} us "
-        f"({(kv_bytes//2)/t_noscale/1e9:6.1f} GB/s eff)",
-        flush=True,
-    )
+    if "noscale" in cases:
+        t_noscale = timeit(
+            lambda q_, kp_, vp_: paged_flash_decode(
+                q_, kp_, vp_, tables, ctx, block_size=BSZ, scale=scale,
+                ppcb=args.ppcb,
+            ),
+            q, kp8, vp8,
+        )
+        print(
+            f"int8-noscale: {t_noscale*1e6:8.1f} us "
+            f"({(kv_bytes//2)/t_noscale/1e9:6.1f} GB/s eff)",
+            flush=True,
+        )
     # In-page scales (r3 layout): K pages carry trailing scale heads.
     from lightvllm_tpu.ops.kv_cache import (
         encode_page_scales,
@@ -118,24 +134,26 @@ def main():
     kp8s = jnp.concatenate(
         [kp8, encode_page_scales(sck, scv, BSZ)], axis=1
     )  # (NBtot, Hkv + Sh, BSZ, D)
-    t_int8 = timeit(
-        lambda q_, kp_, vp_: paged_flash_decode(
-            q_, kp_, vp_, tables, ctx, sc_shards=1, block_size=BSZ,
-            scale=scale, dequant_mode=args.dequant,
-        ),
-        q, kp8s, vp8,
-    )
     sh = num_scale_heads(Hkv, BSZ)
     kv_bytes8 = kv_bytes // 2 + B * NB * sh * BSZ * D
-    print(
-        f"int8:  {t_int8*1e6:8.1f} us  ({kv_bytes8/t_int8/1e9:6.1f} GB/s eff) "
-        f"speedup {t_bf16/t_int8:.2f}x",
-        flush=True,
-    )
+    if "int8" in cases:
+        t_int8 = timeit(
+            lambda q_, kp_, vp_: paged_flash_decode(
+                q_, kp_, vp_, tables, ctx, sc_shards=1, block_size=BSZ,
+                scale=scale, dequant_mode=args.dequant, ppcb=args.ppcb,
+            ),
+            q, kp8s, vp8,
+        )
+        print(
+            f"int8:  {t_int8*1e6:8.1f} us  ({kv_bytes8/t_int8/1e9:6.1f} GB/s eff)",
+            flush=True,
+        )
 
     # Engine-path case: int8 + staged tail (the production decode step
     # inside the fused window always carries the W-row staging buffers) and
     # RANDOM page tables (the allocator interleaves pages across seqs).
+    if "stage" not in cases:
+        return
     W = int(os.environ.get("PROF_STAGE_W", 32))
     ks = jnp.asarray(rng.standard_normal((B, Hkv, W, D)), jnp.bfloat16)
     vs = jnp.asarray(rng.standard_normal((B, Hkv, W, D)), jnp.bfloat16)
@@ -147,7 +165,7 @@ def main():
         lambda q_, kp_, vp_, ks_, vs_: paged_flash_decode(
             q_, kp_, vp_, tables_rnd, ctx, ks_, vs_, stage_len,
             sc_shards=1, block_size=BSZ, scale=scale,
-            dequant_mode=args.dequant,
+            dequant_mode=args.dequant, ppcb=args.ppcb,
         ),
         q, kp8s, vp8, ks, vs,
     )

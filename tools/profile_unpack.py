@@ -99,6 +99,29 @@ def unpack_voffs(w_i8, mm_dt):
     return jnp.concatenate([l, h], axis=1).astype(mm_dt)
 
 
+def unpack_vfold2(w_i8, mm_dt):
+    """Concat-K fold (offset-low packing): W2 = [conv(b & 0xF); conv(b)]
+    = [l + 8; 16h + l + 8]. With x transformed to [x_l - x_h/16; x_h/16]
+    ONE K=gs dot yields dot(x_l, u) + dot(x_h, h); the -8*sum(x_l) bias is
+    a rank-K_G outer-product correction applied OUTSIDE the kernel.
+    Weight-side VPU: one AND + two int8->bf16 converts + concat — no
+    shifts, no int32 widen, no sub/mul/select."""
+    u = (w_i8 & 0x0F).astype(mm_dt)
+    wf = w_i8.astype(mm_dt)
+    return jnp.concatenate([u, wf], axis=1)
+
+
+def xform_vfold2(xg):
+    """(groups, Tp, gs) x -> ([x_l - x_h/16; x_h/16], corr=-8*sum(x_l))."""
+    gsp = xg.shape[2] // 2
+    xl = xg[:, :, :gsp].astype(jnp.float32)
+    xh = xg[:, :, gsp:].astype(jnp.float32)
+    x2 = jnp.concatenate([xl - xh * (1.0 / 16.0), xh * (1.0 / 16.0)],
+                         axis=2).astype(xg.dtype)
+    corr = -8.0 * jnp.sum(xl, axis=2)  # (groups, Tp)
+    return x2, corr
+
+
 def repack_offs(data):
     """split-half packed int8 -> offset-binary-low repack (for voffs)."""
     w32 = data.astype(jnp.int32)
@@ -319,6 +342,20 @@ def run_variant(name, unpack, x, data, scale, bits=4, tile_o=0, ref_data=None):
 
     @jax.jit
     def f(xg, data, scale):
+        corr = None
+        if name == "vfold2":
+            xg, corr = xform_vfold2(xg)
+        out = _call(xg, data, scale)
+        if corr is not None:
+            # -8*sum(x_l) bias: rank-groups outer product vs the scales,
+            # applied outside the kernel (an O(T*groups*Out) XLA dot —
+            # negligible next to the weight stream).
+            out = out + jnp.einsum(
+                "gt,go->to", corr, scale[:, 0, :]
+            ).astype(out.dtype)
+        return out
+
+    def _call(xg, data, scale):
         return pl.pallas_call(
             functools.partial(kernel_fn, out_dtype=jnp.bfloat16, nk=nk),
             grid=(Tp // TT, out // TO, nk),
@@ -386,7 +423,8 @@ def main():
     key = jax.random.PRNGKey(0)
     fns = {"v0": unpack_v0, "vfloat": unpack_vfloat, "vand": unpack_vand,
            "voffs": unpack_voffs, "w8a8": unpack_v0_i8,
-           "vsplit": None, "vfold": None, "w8a8_offs": None, "w4a8": None}
+           "vsplit": None, "vfold": None, "w8a8_offs": None, "w4a8": None,
+           "vfold2": unpack_vfold2}
     for s in args.shapes.split(","):
         in_f, out_f = map(int, s.split("x"))
         w = jax.random.normal(key, (in_f, out_f), jnp.float32) * 0.02
@@ -394,7 +432,8 @@ def main():
         d_offs = repack_offs(q4.data)
         x = jax.random.normal(key, (args.t, in_f), jnp.bfloat16)
         print(f"=== {in_f}x{out_f} T={args.t} int4 gs128 ===", flush=True)
-        offs_variants = ("voffs", "vsplit", "vfold", "w8a8_offs", "w4a8")
+        offs_variants = ("voffs", "vsplit", "vfold", "w8a8_offs", "w4a8",
+                         "vfold2")
         for to in args.tile_o:
             for v in args.variants.split(","):
                 data = d_offs if v in offs_variants else q4.data
