@@ -253,7 +253,9 @@ def _decode_kernel(
         # array across sublane dims lowers to a slow Mosaic relayout
         # (measured ~1.9 ms/layer vs 0.3 for bf16); the elementwise cast on
         # the native page layout is cheap and the bf16 reshape is free.
-        k4 = kslab.astype(cd)  # (ppcb, Hkv, BSZ, D); int8 payload exact in cd
+        # ("s8" mode skips the cast entirely — the int8 page feeds the MXU.)
+        if not (has_scale and dequant_mode == "s8"):
+            k4 = kslab.astype(cd)  # (ppcb, Hkv, BSZ, D); exact in cd
         if has_scale and dequant_mode == "page":
             # Page-side dequant: multiply the page by its per-(page, head,
             # channel) scale so BOTH score and output matmuls run the
@@ -262,7 +264,37 @@ def _decode_kernel(
             # instead of ppcb small ones — A/B'd on hardware
             # (tools/profile_attn.py --dequant page).
             k4 = (k4.astype(jnp.float32) * sc_k[:, :, None, :]).astype(cd)
-        if has_scale and dequant_mode == "fold":
+        if has_scale and dequant_mode == "s8":
+            # int8-MXU scores: fold the per-(page, head, channel) K scale
+            # into q (as in "fold"), then QUANTIZE the folded q per row so
+            # the score dot runs s8 x s8 -> s32 — the int8 K page feeds the
+            # MXU with NO elementwise cast at all (the int8->bf16 slab
+            # convert was the fold path's largest VPU term: ~1M elements
+            # per chunk). Products are exact in s32; the only new error is
+            # the per-row q rounding (~0.4% relative).
+            qs = (
+                q.reshape(Hkv, Gp, -1)[None, :, :, :]
+                * sc_k[:, :, None, :]
+            )  # (ppcb, Hkv, Gp, D) f32
+            aq = jnp.maximum(
+                jnp.max(jnp.abs(qs), axis=3, keepdims=True), 1e-30
+            )
+            qs8 = jnp.round(qs * (127.0 / aq)).astype(jnp.int8)
+            sq_row = aq.reshape(ppcb, HG, 1) * (1.0 / 127.0)
+            s = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        qs8[pg].reshape(HG, -1),
+                        kslab[pg].reshape(Hkv * block_size, -1),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    * sq_row[pg]
+                    for pg in range(ppcb)
+                ],
+                axis=1,
+            )  # (HG, Tbig)
+        elif has_scale and dequant_mode == "fold":
             # Dequant by folding the per-(page, head, channel) K scale into
             # q, not into the page: q*sc_k is (ppcb, HG, D) VPU work vs
             # (ppcb, Hkv, BSZ, D) for page-side dequant — BSZ/Gp (8x at
@@ -316,16 +348,37 @@ def _decode_kernel(
             _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, buf_idx, ppcb),
             npages_ref, b, i, ppcb,
         )
-        v4 = v_buf[buf_idx].astype(cd)
-        if has_scale and dequant_mode == "page":
-            v4 = (v4.astype(jnp.float32) * sc_v[:, :, None, :]).astype(cd)
-        if has_scale and dequant_mode == "fold":
+        if has_scale and dequant_mode == "s8":
+            # int8-MXU PV: p in [0, 1] with max exactly 1 per visited row,
+            # so a FIXED 127 scale quantizes it (masked entries stay exact
+            # zeros — the cross-head property the fold relies on). The V
+            # page again feeds the MXU uncast; per-page output partials
+            # rescale by sc_v/127 in f32.
+            p8 = jnp.round(p * 127.0).astype(jnp.int8)
+            vslab = v_buf[buf_idx]  # (ppcb, Hkv, BSZ, D) int8, uncast
+            T1 = Hkv * block_size
+            D_ = vslab.shape[-1]
+            sc_v_rows = jnp.broadcast_to(
+                sc_v[:, :, None, :], (ppcb, Hkv, Gp, D_)
+            ).reshape(ppcb, HG, D_)
+            o_cur = jnp.zeros((HG, D_), jnp.float32)
+            for pg in range(ppcb):
+                o_pg = jax.lax.dot(
+                    p8[:, pg * T1 : (pg + 1) * T1],
+                    vslab[pg].reshape(T1, -1),
+                    preferred_element_type=jnp.int32,
+                )  # (HG, D) s32, exact
+                o_cur = o_cur + o_pg.astype(jnp.float32) * (
+                    sc_v_rows[pg] * (1.0 / 127.0)
+                )
+        elif has_scale and dequant_mode == "fold":
             # V dequant folds into the per-page partial output: row hg of
             # p_pg @ v_pg only accumulates tokens of head hg//Gp (cross-head
             # scores are exact zeros), so the per-(page, head, channel) V
             # scale multiplies the (HG, D) partial in f32 — BSZ/Gp fewer
             # VPU ops than page-side dequant, and the rescale happens in
             # f32 output domain (strictly tighter than bf16 page dequant).
+            v4 = v_buf[buf_idx].astype(cd)
             pcd = p.astype(cd)
             T1 = Hkv * block_size
             D_ = v4.shape[-1]
@@ -341,6 +394,11 @@ def _decode_kernel(
                 )  # (HG, D)
                 o_cur = o_cur + o_pg * sc_v_rows[pg]
         else:
+            v4 = v_buf[buf_idx].astype(cd)
+            if has_scale and dequant_mode == "page":
+                v4 = (
+                    v4.astype(jnp.float32) * sc_v[:, :, None, :]
+                ).astype(cd)
             v = v4.reshape(Tbig, -1)  # (Tbig, D)
             o_cur = jax.lax.dot(
                 p.astype(cd), v, preferred_element_type=jnp.float32

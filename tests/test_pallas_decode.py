@@ -125,7 +125,7 @@ def test_decode_kernel_bf16_io():
     )
 
 
-@pytest.mark.parametrize("dequant_mode", ["fold", "page"])
+@pytest.mark.parametrize("dequant_mode", ["fold", "page", "s8"])
 def test_decode_kernel_int8_inpage_scales(dequant_mode):
     """int8 pages with in-page scale heads vs the oracle on DEQUANTIZED
     pages: covers the dequant-fold paths (per-page K scale folded into q,
@@ -162,6 +162,9 @@ def test_decode_kernel_int8_inpage_scales(dequant_mode):
     )
     # Kernel matmuls run in bf16 (int8 payload exact; q*sc_k rounded to
     # bf16; V rescale in f32): tolerance reflects bf16 rounding only.
+    # "s8" additionally quantizes the folded q per row and p to 1/127
+    # granularity (int8-MXU dots) — ~1% relative, still inside 3e-2.
+    tol = 3e-2 if dequant_mode == "s8" else 2e-2
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+        np.asarray(got), np.asarray(want), rtol=tol, atol=tol
     )

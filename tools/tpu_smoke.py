@@ -162,7 +162,20 @@ def main():
     # ---- staged-window int8 KV flush ----------------------------------
     from lightvllm_tpu.ops.pallas.kv_append import kv_flush_pallas
 
-    kpages = jnp.zeros((16, Hkv + (kp8s.shape[1] - Hkv), BSZ, D), jnp.int8)
+    # Mid-page appends (start_pos 3 and 127) REUSE the page's existing
+    # in-page scale by design — in production such a page always has one
+    # (its earlier rows were written by prefill or a previous flush). Seed
+    # every page with a valid encoded scale to construct that reachable
+    # state; pages whose row 0 is written here get a fresh scale anyway.
+    sh_f = kp8s.shape[1] - Hkv
+    sc0 = truncate_scale(jnp.full((16, Hkv, D), 0.05, jnp.float32))
+    kpages = jnp.concatenate(
+        [
+            jnp.zeros((16, Hkv, BSZ, D), jnp.int8),
+            encode_page_scales(sc0, sc0, BSZ),
+        ],
+        axis=1,
+    )
     vpages = jnp.zeros((16, Hkv, BSZ, D), jnp.int8)
     start_pos = jnp.asarray([3, 64, 127, 0], jnp.int32)
     btf = jnp.asarray(rng.permutation(16)[:16].reshape(4, 4), jnp.int32)
