@@ -108,6 +108,7 @@ def main():
         quantization=quant,
         kv_cache_dtype=kv,
         decode_kv_mode=kv_mode,
+        attn_dequant_mode=os.environ.get("BENCH_DEQUANT", "fold"),
         hbm_memory_utilization=hbm_util,
         eos=-1,
         async_decode=async_on,
@@ -195,6 +196,7 @@ def main():
     # running decode for its full duration).
     warm_prefill_tokens = 0
     warm_prefill_s = 0.0
+    compile_steps = 0
     decode_gaps: list[float] = []
     last_decode_t = None
     while len(ttft2) < batch and guard < 400:
@@ -202,9 +204,17 @@ def main():
         _, n, is_prefill = eng.step()
         now = time.perf_counter()
         guard += 1
+        step_s = now - t_step
         if is_prefill:
-            warm_prefill_tokens += n
-            warm_prefill_s += now - t_step
+            # Steps > 5 s are first-time jit compiles of admission-phase
+            # shapes (small-batch prefills as slots free up; the axon
+            # remote-AOT transport bypasses the persistent cache) — count
+            # them separately so the warm rate measures serving, not XLA.
+            if step_s < 5.0:
+                warm_prefill_tokens += n
+                warm_prefill_s += step_s
+            else:
+                compile_steps += 1
             for s in eng.scheduler.running:
                 if (
                     s.num_completion_tokens == 1
@@ -218,7 +228,8 @@ def main():
             last_decode_t = now
     warm = sorted(ttft2.values())
     p50_ttft_warm = warm[len(warm) // 2] if warm else 0.0
-    gaps = sorted(decode_gaps)
+    gaps = sorted(g for g in decode_gaps if g < 5.0)  # compile gaps excluded
+    compile_gaps = sum(1 for g in decode_gaps if g >= 5.0)
     gap_p99 = gaps[min(len(gaps) - 1, int(len(gaps) * 0.99))] if gaps else 0.0
 
     tok_per_s = done / decode_s
@@ -240,7 +251,9 @@ def main():
         ) if prefill_s else 0.0,
         # p99 gap between decode-window completions while prompts admit
         # (inter-token QoS; bounded by prefill_chunk_tokens when chunking).
+        # First-time jit compiles (> 5 s, cold-cache only) counted apart.
         "decode_gap_p99_s": round(gap_p99, 3),
+        "cold_compile_events": compile_gaps + compile_steps,
         "prefill_chunk_tokens": eng.config.prefill_chunk_tokens,
         "prompt_len": prompt_len,
     }

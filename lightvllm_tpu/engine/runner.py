@@ -297,6 +297,12 @@ class ModelRunner:
             from lightvllm_tpu.ops.backend import set_kernel_backend
 
             set_kernel_backend(config.kernel_backend)
+        if config.attn_dequant_mode != "fold":
+            from lightvllm_tpu.ops.pallas.decode_attention import (
+                set_decode_dequant_mode,
+            )
+
+            set_decode_dequant_mode(config.attn_dequant_mode)
 
         bs = self.block_size
         attn_impl = config.attention_impl

@@ -63,7 +63,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--ctx", type=int, default=1100)
     ap.add_argument("--hq", type=int, default=16)
-    ap.add_argument("--dequant", default="fold", choices=["fold", "page"])
+    ap.add_argument("--dequant", default="fold",
+                    choices=["fold", "page", "s8"])
     ap.add_argument("--ppcb", type=int, default=8)
     ap.add_argument(
         "--cases", default="bf16,noscale,int8,stage",

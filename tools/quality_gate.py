@@ -457,11 +457,85 @@ def gate(attn_impls=("jnp",)) -> None:
         json.dump(results, f, indent=1)
 
 
+def decode_agree() -> None:
+    """Decode-path quality of the attention dequant modes (the ppl gate is
+    teacher-forced PREFILL; the decode kernel's fold/s8 variants never run
+    there). Greedy-generate through the real engine decode path with
+    int8 KV x {fold, s8} and bf16 KV as the reference; report per-config
+    token agreement vs the bf16-KV generation. s8 adds ~0.4% q-rounding +
+    ~0.8% p-rounding on top of int8-KV noise — this measures whether that
+    moves sampled tokens on a trained model."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightvllm_tpu.engine.llm_engine import LLMEngine
+    from lightvllm_tpu.models import qwen3
+    from lightvllm_tpu.sampling_params import SamplingParams
+    from lightvllm_tpu.utils.loader import load_saved_params
+
+    spec = qwen3.ModelSpec(dtype="bfloat16", **spec_kwargs())
+    eval_tokens = np.load(_corpus_path("eval")).astype(np.int32)
+    rng = np.random.default_rng(11)
+    prompts = []
+    for _ in range(8):
+        st = int(rng.integers(0, len(eval_tokens) - 128))
+        prompts.append(eval_tokens[st : st + 64].tolist())
+    sp = SamplingParams(temperature=0.0, max_tokens=64, ignore_eos=True)
+
+    def gen(kv, dq):
+        params = load_saved_params(_ckpt_path(), spec)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 1
+            else x,
+            params,
+        )
+        eng = LLMEngine(
+            spec=spec, params=params, kvcache_block_size=64,
+            num_kvcache_blocks=128, max_model_len=256, max_num_seqs=8,
+            eos=-1, attention_impl="pallas", kv_cache_dtype=kv,
+            attn_dequant_mode=dq, warmup_shapes=False, kv_size_probe=False,
+            decode_window=8,
+        )
+        return [
+            r["token_ids"]
+            for r in eng.generate(prompts, sp, use_tqdm=False)
+        ]
+
+    ref = gen("auto", "fold")  # bf16 KV reference
+    rows = []
+    for dq in ("fold", "s8"):
+        got = gen("int8", dq)
+        agree = [
+            sum(a == b for a, b in zip(g, r)) / len(r)
+            for g, r in zip(got, ref)
+        ]
+        # Prefix agreement: tokens until first divergence (greedy decode
+        # compounds any flip, so the tail is not independent evidence).
+        prefix = []
+        for g, r in zip(got, ref):
+            n = 0
+            for a, b in zip(g, r):
+                if a != b:
+                    break
+                n += 1
+            prefix.append(n / len(r))
+        row = {
+            "kv": "int8", "attn_dequant": dq,
+            "mean_token_agreement_vs_bf16kv": round(float(np.mean(agree)), 4),
+            "mean_prefix_agreement_vs_bf16kv": round(float(np.mean(prefix)), 4),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    with open(os.path.join(QDIR, f"decode_agree{_tag()}.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", nargs="?", default="all",
                     choices=["corpus", "train", "gate", "errstats",
-                             "outliers", "all"])
+                             "outliers", "decode_agree", "all"])
     ap.add_argument("--attn", default="jnp",
                     help="comma list: jnp,pallas (pallas needs the TPU)")
     args = ap.parse_args()
@@ -477,5 +551,7 @@ if __name__ == "__main__":
         quant_error_stats()
     if args.stage in ("outliers", "all"):
         outlier_probe()
+    if args.stage in ("decode_agree", "all"):
+        decode_agree()
     if args.stage in ("gate", "all"):
         gate(tuple(args.attn.split(",")))
