@@ -45,6 +45,19 @@ from lightvllm_tpu.ops.kv_cache import scale_plane_rows
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Default int8 dequant strategy for callers that don't pass dequant_mode
+# (the engine sets this from Config.attn_dequant_mode at runner init):
+#   "fold" — per-page K scale folded into q, bf16 MXU dots
+#   "page" — page-side dequant, single big bf16 dot per chunk
+#   "s8"   — quantized folded-q and p, s8 x s8 -> s32 MXU dots (no casts)
+DECODE_DEQUANT_MODE = "fold"
+
+
+def set_decode_dequant_mode(mode: str) -> None:
+    global DECODE_DEQUANT_MODE
+    assert mode in ("fold", "page", "s8"), mode
+    DECODE_DEQUANT_MODE = mode
+
 
 def _compute_dtype(page_dtype) -> jnp.dtype:
     """bf16 for sub-bf16 (fp8) and int8 pages, else the page dtype."""
@@ -444,6 +457,16 @@ def _decode_kernel(
             o_ref[0] = o_ref[0] * l_inv
 
 
+def paged_flash_decode(*args, dequant_mode: str | None = None, **kwargs):
+    """Shim: resolve the module-default dequant mode BEFORE the jit
+    boundary so it lands in the jit cache key (a trace-time global read
+    inside the jitted body would pin the first engine's mode for every
+    later engine in the process)."""
+    if dequant_mode is None:
+        dequant_mode = DECODE_DEQUANT_MODE
+    return _paged_flash_decode(*args, dequant_mode=dequant_mode, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -451,7 +474,7 @@ def _decode_kernel(
         "dequant_mode",
     ),
 )
-def paged_flash_decode(
+def _paged_flash_decode(
     q: jnp.ndarray,  # (B, Hq, D)
     k_pages: jnp.ndarray,  # (NB_total, Hkv [+ scale heads], BSZ, D)
     v_pages: jnp.ndarray,  # (NB_total, Hkv, BSZ, D)
