@@ -535,11 +535,19 @@ def forward_decode_staged(
     scale = spec.head_dim**-0.5
     pos = meta.positions + step  # current token positions
     pages_ctx = meta.positions  # pages rows attended: 0 .. base_pos - 1
-    stage_len = step + 1
+    # Attention reads the PRE-update staging (rows < step) plus this
+    # step's K/V rows passed separately: the staging update's only
+    # consumer is then the scan carry, so XLA performs the
+    # dynamic_update_slice in place. Feeding the UPDATED buffer to the
+    # attention kernel (an opaque custom call) forced a full-buffer copy
+    # per layer per step — measured 8.2 us x72/step at 8B b64.
+    stage_len = step
+    stash: dict[int, tuple] = {}
 
     def write_fn(stage: KVCache, layer: int, k, v) -> KVCache:
         # k/v (B, Hkv, D) -> staging row `step` (same index for all seqs:
         # a vectorized dynamic_update_slice, not a scatter).
+        stash[layer] = (stage.k[layer], stage.v[layer], k, v)
         st_dt = stage.k[layer].dtype
         nk, nv = list(stage.k), list(stage.v)
         nk[layer] = jax.lax.dynamic_update_slice_in_dim(
@@ -551,9 +559,11 @@ def forward_decode_staged(
         return KVCache(k=tuple(nk), v=tuple(nv))
 
     def attn_fn(q, stage: KVCache, layer: int):
+        old_k, old_v, k_row, v_row = stash.pop(layer)
         kw = dict(
-            k_stage=stage.k[layer], v_stage=stage.v[layer],
+            k_stage=old_k, v_stage=old_v,
             stage_len=stage_len, pages_ctx=pages_ctx,
+            k_new=k_row, v_new=v_row,
         )
         if attn_impl == "pallas":
             return paged_decode_attention_pallas(

@@ -126,11 +126,14 @@ def paged_decode_attention_pallas(
     v_stage: jnp.ndarray | None = None,
     stage_len: jnp.ndarray | None = None,  # scalar: valid staged rows
     pages_ctx: jnp.ndarray | None = None,  # (B,) paged-context override
+    k_new: jnp.ndarray | None = None,  # (B, Hkv, D) current step's rows
+    v_new: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Pallas flash-decode over HBM pages (ops/pallas/decode_attention.py).
     Scale-free e4m3 caches ride the same kernel (bf16 at the MXU). With
     window staging (the staged decode path) the kernel additionally folds
-    the dense unflushed tail into its online softmax."""
+    the dense unflushed tail into its online softmax; k_new/v_new pass the
+    CURRENT step's rows separately (see forward_decode_staged)."""
     from lightvllm_tpu.ops.pallas.decode_attention import paged_flash_decode
 
     return paged_flash_decode(
@@ -142,6 +145,8 @@ def paged_decode_attention_pallas(
         k_stage,
         v_stage,
         stage_len,
+        k_new,
+        v_new,
         sc_shards=cache.sc_shards,
         block_size=block_size,
         scale=scale,
@@ -160,6 +165,8 @@ def paged_decode_attention(
     v_stage: jnp.ndarray | None = None,
     stage_len: jnp.ndarray | None = None,
     pages_ctx: jnp.ndarray | None = None,
+    k_new: jnp.ndarray | None = None,  # (B, Hkv, D) current step's rows
+    v_new: jnp.ndarray | None = None,
 ) -> jnp.ndarray:  # (B, Hq, D)
     k, v = gather_kv_for_seqs(
         cache, layer, meta.block_tables, block_size, jnp.float32
@@ -179,6 +186,13 @@ def paged_decode_attention(
         st_mask = jnp.arange(W, dtype=jnp.int32)[None, :] < stage_len
         mask = jnp.concatenate(
             [mask, jnp.broadcast_to(st_mask, (mask.shape[0], W))], axis=1
+        )
+    if k_new is not None:
+        # Current step's rows, always attended (see forward_decode_staged).
+        k = jnp.concatenate([k, k_new[:, None].astype(jnp.float32)], axis=1)
+        v = jnp.concatenate([v, v_new[:, None].astype(jnp.float32)], axis=1)
+        mask = jnp.concatenate(
+            [mask, jnp.ones((mask.shape[0], 1), bool)], axis=1
         )
     s = _grouped_scores(q[:, None].astype(jnp.float32), k) * scale
     s = jnp.where(mask[:, None, None, None, :], s, MASK_VALUE)

@@ -134,6 +134,7 @@ def _decode_kernel(
     num_kv_heads: int,
     group_pad: int,  # Gp: queries per kv head incl. minimal sublane pad
     has_stage: bool,
+    has_new: bool = False,  # current-step K/V rows passed separately
     has_scale: bool = False,  # int8 pages with in-page scale heads
     dequant_mode: str = "fold",  # "fold" (into q / output) | "page"
 ):
@@ -142,6 +143,10 @@ def _decode_kernel(
         ks_ref, vs_ref = refs.pop(0), refs.pop(0)
     else:
         ks_ref = vs_ref = None
+    if has_new:
+        kn_ref, vn_ref = refs.pop(0), refs.pop(0)
+    else:
+        kn_ref = vn_ref = None
     (
         o_ref, m_ref, l_ref, hmask_ref, relpos_ref, k_buf, v_buf,
         k_sem, v_sem,
@@ -452,6 +457,40 @@ def _decode_kernel(
                     p2.astype(cd), vs, preferred_element_type=jnp.float32
                 )
                 o_ref[0] = o_ref[0] * alpha2 + o2
+            if has_new:
+                # Current step's K/V rows, passed SEPARATELY from the
+                # staging buffer so the per-step staging update's only
+                # consumer is the scan carry (XLA then updates it in
+                # place; feeding the updated buffer to this kernel forced
+                # a full-buffer copy per layer per step — measured
+                # 8.2 us x72/step of dynamic_update_slice in the trace).
+                kn = kn_ref[0].astype(cd)  # (Hkv, D)
+                s3 = jax.lax.dot_general(
+                    q.astype(cd), kn,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (HG, Hkv)
+                rh3 = (
+                    jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv), 0) // Gp
+                )
+                ch3 = jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv), 1)
+                s3 = jnp.where(rh3 == ch3, s3, MASK_VALUE)
+                m_prev3 = m_ref[:, :1]
+                l_prev3 = l_ref[:, :1]
+                m_next3 = jnp.maximum(
+                    m_prev3, jnp.max(s3, axis=-1, keepdims=True)
+                )
+                alpha3 = jnp.exp(m_prev3 - m_next3)
+                p3 = jnp.exp(s3 - m_next3)
+                l_ref[...] = jnp.broadcast_to(
+                    alpha3 * l_prev3 + jnp.sum(p3, axis=-1, keepdims=True),
+                    l_ref.shape,
+                )
+                o3 = jax.lax.dot(
+                    p3.astype(cd), vn_ref[0].astype(cd),
+                    preferred_element_type=jnp.float32,
+                )  # (HG, D)
+                o_ref[0] = o_ref[0] * alpha3 + o3
             l = l_ref[:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0] = o_ref[0] * l_inv
@@ -483,6 +522,8 @@ def _paged_flash_decode(
     k_stage: jnp.ndarray | None = None,  # (B, Hkv, W, D) dense staging tail
     v_stage: jnp.ndarray | None = None,
     stage_len: jnp.ndarray | None = None,  # scalar int32: valid staging rows
+    k_new: jnp.ndarray | None = None,  # (B, Hkv, D) current step's rows,
+    v_new: jnp.ndarray | None = None,  # attended in ADDITION to the stage
     *,
     sc_shards: int = 0,  # int8 pages: in-page scale-head shard groups
     block_size: int,
@@ -513,6 +554,7 @@ def _paged_flash_decode(
     num_chunks = -(-NB // ppcb)
     NB_padded = num_chunks * ppcb
     has_stage = k_stage is not None
+    has_new = k_new is not None
 
     # Clamp out-of-context table entries onto the sequence's page 0 so
     # straggler DMAs of the last partial chunk stay valid and local.
@@ -549,6 +591,12 @@ def _paged_flash_decode(
             pl.BlockSpec((1, Hkv, W, D), lambda b, i, *_: (b, 0, 0, 0)),
         ]
         inputs += [k_stage, v_stage]
+    if has_new:
+        in_specs += [
+            pl.BlockSpec((1, Hkv, D), lambda b, i, *_: (b, 0, 0)),
+            pl.BlockSpec((1, Hkv, D), lambda b, i, *_: (b, 0, 0)),
+        ]
+        inputs += [k_new, v_new]
 
     Tbig = ppcb * Hkv * block_size
     scratch_shapes = [
@@ -581,6 +629,7 @@ def _paged_flash_decode(
             num_kv_heads=Hkv,
             group_pad=Gp,
             has_stage=has_stage,
+            has_new=has_new,
             has_scale=has_scale,
             dequant_mode=dequant_mode,
         ),
