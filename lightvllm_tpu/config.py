@@ -98,7 +98,7 @@ class Config:
     # int8-KV decode-attention dequant strategy (Pallas kernel):
     # "fold" folds per-page K scales into q (bf16 MXU dots); "s8" also
     # quantizes the folded q and p so both dots run s8 x s8 -> s32 with
-    # the int8 pages feeding the MXU uncast; "page" dequantizes the page.
+    # the int8 pages feeding the MXU uncast.
     attn_dequant_mode: str = "fold"
     kernel_backend: str = "native"  # elementwise ops: "native" (XLA) | "pallas"
     decode_bucket_sizes: tuple[int, ...] = ()  # () = auto powers of two
@@ -118,7 +118,7 @@ class Config:
         assert self.int4_packing in ("split", "offs")
         assert self.kv_cache_dtype in ("auto", "fp8", "int8")
         assert self.attention_impl in ("auto", "jnp", "pallas")
-        assert self.attn_dequant_mode in ("fold", "page", "s8")
+        assert self.attn_dequant_mode in ("fold", "s8")
         assert self.kernel_backend in ("native", "pallas")
         assert self.decode_kv_mode in ("staged", "scatter")
         assert self.tp_mode in ("auto", "gspmd", "shard_map")

@@ -9,27 +9,38 @@ Design (TPU-first):
     HBM region = ONE async DMA for all heads (measured: one-DMA-per-
     (head,page) designs were latency-bound at ~56-126 GB/s).
   - grid (B, num_chunks): each step gathers pages_per_chunk pages with
-    concurrent DMAs into double-buffered VMEM and computes all KV heads'
-    online-softmax updates; the next chunk's DMAs are issued first
-    (double buffering hides HBM latency behind compute).
+    concurrent DMAs into double-buffered VMEM and computes the online-
+    softmax update; the next chunk's DMAs are issued first (double
+    buffering hides HBM latency behind compute).
+  - GQA is BLOCK-DIAGONAL: scores live in the compact (Hkv, Gc, tokens)
+    layout computed by Hkv-batched dot_generals on the pages' NATIVE
+    (Hkv, BSZ, D) layout. The r1-r4 design folded all heads into one wide
+    (Hkv*Gc, Hkv*tokens) matmul with a cross-head mask — 8x the MXU
+    columns and 8x the mask/exp/sum VPU elements at Hkv=8, all masked
+    away. Compact form needs NO head mask at all (only the position
+    mask), and no operand ever reshapes across an int8 sublane boundary
+    (a Mosaic mis-lowering hazard found on-chip in r5).
   - online softmax in fp32 with running (m, l) VMEM scratch; output block
     revisits across the chunk axis and is normalized on the sequence's
     last real chunk.
-  - GQA: per KV head, its G = Hq/Hkv query heads form one (G, D) tile
-    (padded to the fp32 sublane tile 8). Head slices of a fetched page are
-    contiguous (BSZ, D) tiles — no relayout.
   - chunks fully beyond a sequence's context are skipped (no DMA, no
     FLOPs). Callers must clamp padding rows' ctx_lens to >= 1.
   - FP8 KV is scale-free e4m3 (see ops/kv_cache.py): pages upcast to bf16
-    inside the MXU matmuls; no scale arrays, no extra DMAs — the kernel
-    handles it purely through the compute dtype.
+    inside the MXU matmuls; no scale arrays, no extra DMAs.
   - INT8 KV scales ride IN-PAGE (ops/kv_cache.py module docstring): the K
     page carries trailing scale heads, so the page DMA delivers data +
-    scales together — no third DMA stream, no scale semaphores, and a
-    zeroed page region decodes to scale 0.0 (no NaN-garbage hazard). The
-    kernel decodes the bf16 byte planes with widen/shift/int32->f32
-    bitcast on a (4*SPL, D)-sized sliver — negligible VPU work next to
-    the dequant multiply itself.
+    scales together. dequant_mode:
+      "fold" — per-page K scale folds into q (bf16 MXU dots; V scale
+               folds into the f32 output partial);
+      "s8"   — additionally QUANTIZES the folded q per row and p (fixed
+               127 scale: p <= 1 with exact zeros preserved) so both dots
+               run s8 x s8 -> s32 with the int8 pages feeding the MXU
+               uncast — the elementwise int8->bf16 slab casts were the
+               fold path's largest VPU term.
+  - the current decode step's K/V rows arrive as SEPARATE (B, Hkv, D)
+    inputs (k_new/v_new) merged in the finalize step: attention must not
+    consume the post-update staging buffer, or XLA copies the whole
+    buffer every step instead of updating the scan carry in place.
 """
 
 from __future__ import annotations
@@ -46,16 +57,13 @@ from lightvllm_tpu.ops.kv_cache import scale_plane_rows
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 # Default int8 dequant strategy for callers that don't pass dequant_mode
-# (the engine sets this from Config.attn_dequant_mode at runner init):
-#   "fold" — per-page K scale folded into q, bf16 MXU dots
-#   "page" — page-side dequant, single big bf16 dot per chunk
-#   "s8"   — quantized folded-q and p, s8 x s8 -> s32 MXU dots (no casts)
+# (the engine sets this from Config.attn_dequant_mode at runner init).
 DECODE_DEQUANT_MODE = "fold"
 
 
 def set_decode_dequant_mode(mode: str) -> None:
     global DECODE_DEQUANT_MODE
-    assert mode in ("fold", "page", "s8"), mode
+    assert mode in ("fold", "s8"), mode
     DECODE_DEQUANT_MODE = mode
 
 
@@ -111,6 +119,27 @@ def _run_chunk_copies(op, copies, npages_ref, b, chunk, ppcb):
             getattr(c, op)()
 
 
+def _online_merge(m_ref, l_ref, o_ref, s, values_fn):
+    """One online-softmax accumulation step in the compact layout.
+
+    s: (Hkv, Gc, C) masked scores. values_fn(p) -> (Hkv, Gc, D) f32
+    weighted-value partial for this block. Updates (m, l, o) in place and
+    returns nothing."""
+    Hkv, Gc, _ = s.shape
+    HG = Hkv * Gc
+    m_prev = m_ref[:, :1]  # (HG, 1)
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (Hkv, Gc, 1)
+    m_next = jnp.maximum(m_prev, m_cur.reshape(HG, 1))
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next.reshape(Hkv, Gc, 1))  # (Hkv, Gc, C)
+    l_next = alpha * l_prev + jnp.sum(p, axis=-1).reshape(HG, 1)
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+    o_cur = values_fn(p)  # (Hkv, Gc, D) f32
+    o_ref[0] = o_ref[0] * alpha.reshape(Hkv, Gc, 1) + o_cur
+
+
 def _decode_kernel(
     # scalar prefetch
     tables_ref,  # (B, NB_padded) int32
@@ -118,25 +147,23 @@ def _decode_kernel(
     npages_ref,  # (B,) int32 valid pages per seq (>= 1): gates page DMAs
     stage_len_ref,  # (1,) int32 (number of valid staging rows; 0 = no stage)
     # inputs
-    q_ref,  # (1, HG = Hkv*Gp, D) VMEM — Gp is the MINIMAL group pad
+    q_ref,  # (1, Hkv, Gc, D) VMEM — Gc = G padded to the sublane tile
     k_hbm,  # (NBtot, Hkv [+ scale heads], BSZ, D) ANY (HBM), one layer
     v_hbm,  # (NBtot, Hkv, BSZ, D)
     # [ks_ref, vs_ref] when has_stage: (1, Hkv, W, D) VMEM staging tail
+    # [kn_ref, vn_ref] when has_new: (1, Hkv, D) current step's rows
     # outputs
-    # o_ref (1, HG, D) f32 VMEM
-    # scratch: m_ref, l_ref (HG, 128) f32; hmask_ref (HG, Tbig) f32
-    #          additive head mask (0 / MASK, grid-invariant, built once);
-    #          k_buf/v_buf; sems; smem flags
+    # o_ref (1, Hkv, Gc, D) f32 VMEM
+    # scratch: m_ref, l_ref (Hkv*Gc, 128) f32; k_buf/v_buf; sems; smem
     *refs,
     block_size: int,
     ppcb: int,
     scale: float,
     num_kv_heads: int,
-    group_pad: int,  # Gp: queries per kv head incl. minimal sublane pad
     has_stage: bool,
-    has_new: bool = False,  # current-step K/V rows passed separately
+    has_new: bool = False,
     has_scale: bool = False,  # int8 pages with in-page scale heads
-    dequant_mode: str = "fold",  # "fold" (into q / output) | "page"
+    dequant_mode: str = "fold",  # "fold" | "s8" (see module docstring)
 ):
     refs = list(refs)
     if has_stage:
@@ -147,17 +174,15 @@ def _decode_kernel(
         kn_ref, vn_ref = refs.pop(0), refs.pop(0)
     else:
         kn_ref = vn_ref = None
-    (
-        o_ref, m_ref, l_ref, hmask_ref, relpos_ref, k_buf, v_buf,
-        k_sem, v_sem,
-    ) = refs[:9]
-    buf_idx_ref, init_ref = refs[9:]
+    o_ref, m_ref, l_ref, k_buf, v_buf, k_sem, v_sem = refs[:7]
+    buf_idx_ref, init_ref = refs[7:]
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_b = pl.num_programs(0)
     num_chunks = pl.num_programs(1)
     chunk_tokens = ppcb * block_size
     ctx = ctx_lens_ref[b]
+    Hkv = num_kv_heads
 
     def chunk_valid(b_, i_):
         # Chunk 0 always runs: it initializes (m, l, o) and, for ctx <= 0
@@ -176,24 +201,6 @@ def _decode_kernel(
         init_ref[0] = 0
         k_buf[...] = jnp.zeros_like(k_buf)
         v_buf[...] = jnp.zeros_like(v_buf)
-        # Grid-invariant mask ingredients, built ONCE: the additive head
-        # mask (0 on diagonal blocks, MASK off them) and the within-chunk
-        # token positions (chunk-relative, so `pos < ctx` becomes a
-        # broadcast compare against ctx - chunk_base). The old per-chunk
-        # iota/div/mod/compare/and/select chain on (HG, Tbig) was ~half the
-        # kernel's VPU time.
-        HGm, Tm = hmask_ref.shape
-        rh = jax.lax.broadcasted_iota(jnp.int32, (HGm, Tm), 0) // group_pad
-        colm = jax.lax.broadcasted_iota(jnp.int32, (HGm, Tm), 1)
-        ch = (colm // block_size) % num_kv_heads
-        hmask_ref[...] = jnp.where(rh == ch, 0.0, MASK_VALUE)
-        colr = jax.lax.broadcasted_iota(
-            jnp.int32, relpos_ref.shape, 1
-        )
-        relpos_ref[...] = (
-            (colr // (num_kv_heads * block_size)) * block_size
-            + colr % block_size
-        ).astype(jnp.float32)
 
     @pl.when(chunk_valid(b, i))
     def _body():
@@ -243,257 +250,148 @@ def _decode_kernel(
             )
             buf_idx_ref[0] = nxt
 
-        # Wait for this chunk's K pages. All heads fold into ONE matmul pair:
-        # Q_all (Hkv*Gp, D) @ K_chunk (D, ppcb*Hkv*BSZ) computes every
-        # (q-head, kv-head) pair; cross-head scores are masked to -inf so
-        # their softmax weight is exactly 0 and a single P @ V_chunk matmul
-        # yields correct per-head outputs. Decode is HBM-bound, so the extra
-        # MXU work is cheap — and under tensor parallelism the local Hkv
-        # (the waste factor) shrinks toward 1.
+        # Wait for this chunk's K pages, then Hkv-BATCHED score dots per
+        # page on the page's native (Hkv, BSZ, D) layout — block-diagonal
+        # GQA, no cross-head columns, no head mask.
         _run_chunk_copies(
             "wait",
             _chunk_copies(k_hbm, k_buf, k_sem, tables_ref, b, i, buf_idx, ppcb),
             npages_ref, b, i, ppcb,
         )
 
-        Hkv = num_kv_heads
-        Gp = group_pad
-        HG = q_ref.shape[1]  # Hkv * Gp
-        Tbig = ppcb * Hkv * block_size
+        Gc = q_ref.shape[2]
         cd = _compute_dtype(k_buf.dtype)
-        q = q_ref[0].astype(jnp.float32) * scale  # (HG, D)
+        q = q_ref[0].astype(jnp.float32) * scale  # (Hkv, Gc, D)
         kslab = k_buf[buf_idx]  # (ppcb, Hkv [+Sh], BSZ, D)
         if has_scale:
             # In-page scales rode the K page DMA we just waited on.
             sc_k, sc_v = decode_inpage_scales(kslab[:, Hkv:], Hkv)
             kslab = kslab[:, :Hkv]
-        # Cast BEFORE the sublane-merging reshape: reshaping an 8-bit (fp8)
-        # array across sublane dims lowers to a slow Mosaic relayout
-        # (measured ~1.9 ms/layer vs 0.3 for bf16); the elementwise cast on
-        # the native page layout is cheap and the bf16 reshape is free.
-        # ("s8" mode skips the cast entirely — the int8 page feeds the MXU.)
-        if not (has_scale and dequant_mode == "s8"):
-            k4 = kslab.astype(cd)  # (ppcb, Hkv, BSZ, D); exact in cd
-        if has_scale and dequant_mode == "page":
-            # Page-side dequant: multiply the page by its per-(page, head,
-            # channel) scale so BOTH score and output matmuls run the
-            # single-big-matmul (no per-page split) path below. BSZ/Gp more
-            # VPU multiplies than the q/output fold, but ONE dot per chunk
-            # instead of ppcb small ones — A/B'd on hardware
-            # (tools/profile_attn.py --dequant page).
-            k4 = (k4.astype(jnp.float32) * sc_k[:, :, None, :]).astype(cd)
+        dn_qk = (((2,), (2,)), ((0,), (0,)))  # contract D, batch Hkv
+        s_parts = []
         if has_scale and dequant_mode == "s8":
-            # int8-MXU scores: fold the per-(page, head, channel) K scale
-            # into q (as in "fold"), then QUANTIZE the folded q per row so
-            # the score dot runs s8 x s8 -> s32 — the int8 K page feeds the
-            # MXU with NO elementwise cast at all (the int8->bf16 slab
-            # convert was the fold path's largest VPU term: ~1M elements
-            # per chunk). Products are exact in s32; the only new error is
-            # the per-row q rounding (~0.4% relative).
-            qs = (
-                q.reshape(Hkv, Gp, -1)[None, :, :, :]
-                * sc_k[:, :, None, :]
-            )  # (ppcb, Hkv, Gp, D) f32
-            aq = jnp.maximum(
-                jnp.max(jnp.abs(qs), axis=3, keepdims=True), 1e-30
-            )
-            qs8 = jnp.round(qs * (127.0 / aq)).astype(jnp.int8)
-            sq_row = aq.reshape(ppcb, HG, 1) * (1.0 / 127.0)
-            s = jnp.concatenate(
-                [
+            # Fold the per-(page, head, channel) K scale into q, quantize
+            # the folded q per row, and run s8 x s8 -> s32: the int8 page
+            # feeds the MXU with NO elementwise cast (the fold path's
+            # largest VPU term). Products are exact in s32; the only new
+            # error is the per-row q rounding (~0.4% relative).
+            for pg in range(ppcb):
+                qs = q * sc_k[pg][:, None, :]  # (Hkv, Gc, D) f32
+                aq = jnp.maximum(
+                    jnp.max(jnp.abs(qs), axis=2, keepdims=True), 1e-30
+                )
+                qs8 = jnp.round(qs * (127.0 / aq)).astype(jnp.int8)
+                s_pg = jax.lax.dot_general(
+                    qs8, kslab[pg], dn_qk,
+                    preferred_element_type=jnp.int32,
+                )  # (Hkv, Gc, BSZ) s32
+                s_parts.append(
+                    s_pg.astype(jnp.float32) * (aq * (1.0 / 127.0))
+                )
+        elif has_scale:  # "fold"
+            for pg in range(ppcb):
+                qs = (q * sc_k[pg][:, None, :]).astype(cd)
+                k4 = kslab[pg].astype(cd)
+                s_parts.append(
                     jax.lax.dot_general(
-                        qs8[pg].reshape(HG, -1),
-                        kslab[pg].reshape(Hkv * block_size, -1),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    ).astype(jnp.float32)
-                    * sq_row[pg]
-                    for pg in range(ppcb)
-                ],
-                axis=1,
-            )  # (HG, Tbig)
-        elif has_scale and dequant_mode == "fold":
-            # Dequant by folding the per-(page, head, channel) K scale into
-            # q, not into the page: q*sc_k is (ppcb, HG, D) VPU work vs
-            # (ppcb, Hkv, BSZ, D) for page-side dequant — BSZ/Gp (8x at
-            # BSZ=64) fewer multiplies, and the int8 page feeds the MXU
-            # unmodified (values <= 127 are exact in bf16). Scores become
-            # sum_d (q_d sc_d) k_d — identical math, page-batched matmuls.
-            qs = (
-                q.reshape(Hkv, Gp, -1)[None, :, :, :]
-                * sc_k[:, :, None, :]
-            ).astype(cd)  # (ppcb, Hkv, Gp, D)
-            s = jnp.concatenate(
-                [
+                        qs, k4, dn_qk, preferred_element_type=jnp.float32
+                    )
+                )
+        else:
+            qcd = q.astype(cd)
+            for pg in range(ppcb):
+                s_parts.append(
                     jax.lax.dot_general(
-                        qs[pg].reshape(HG, -1),
-                        k4[pg].reshape(Hkv * block_size, -1),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        qcd, kslab[pg].astype(cd), dn_qk,
                         preferred_element_type=jnp.float32,
                     )
-                    for pg in range(ppcb)
-                ],
-                axis=1,
-            )  # (HG, Tbig) — same (page, head, token) column order
-        else:
-            k = k4.reshape(Tbig, -1)  # (Tbig, D)
-            s = jax.lax.dot_general(
-                q.astype(cd),
-                k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (HG, Tbig)
+                )
+        s = jnp.concatenate(s_parts, axis=2)  # (Hkv, Gc, chunk_tokens)
 
-        # Masking: one add (precomputed head mask) + one broadcast compare/
-        # select (precomputed within-chunk positions vs ctx - chunk base) —
-        # replaces the old per-chunk iota/div/mod/compare/and/select chain
-        # (~half the kernel's VPU time at decode shapes).
-        lim = (ctx - i * chunk_tokens).astype(jnp.float32)
-        s = jnp.where(relpos_ref[:1] < lim, s + hmask_ref[...], MASK_VALUE)
-
-        m_prev = m_ref[:, :1]  # (HG, 1)
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)  # (HG, Tbig); exact zeros off-head
-        l_next = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+        # Position mask: one broadcast compare. Columns past the context
+        # (incl. skipped pages' stale buffer content) select MASK.
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (Gc, chunk_tokens), 1
+        )[None]
+        s = jnp.where(col < (ctx - i * chunk_tokens), s, MASK_VALUE)
 
         _run_chunk_copies(
             "wait",
             _chunk_copies(v_hbm, v_buf, v_sem, tables_ref, b, i, buf_idx, ppcb),
             npages_ref, b, i, ppcb,
         )
-        if has_scale and dequant_mode == "s8":
-            # int8-MXU PV: p in [0, 1] with max exactly 1 per visited row,
-            # so a FIXED 127 scale quantizes it (masked entries stay exact
-            # zeros — the cross-head property the fold relies on). The V
-            # page again feeds the MXU uncast; per-page output partials
-            # rescale by sc_v/127 in f32.
-            p8 = jnp.round(p * 127.0).astype(jnp.int8)
-            vslab = v_buf[buf_idx]  # (ppcb, Hkv, BSZ, D) int8, uncast
-            T1 = Hkv * block_size
-            D_ = vslab.shape[-1]
-            sc_v_rows = jnp.broadcast_to(
-                sc_v[:, :, None, :], (ppcb, Hkv, Gp, D_)
-            ).reshape(ppcb, HG, D_)
-            o_cur = jnp.zeros((HG, D_), jnp.float32)
-            for pg in range(ppcb):
-                o_pg = jax.lax.dot(
-                    p8[:, pg * T1 : (pg + 1) * T1],
-                    vslab[pg].reshape(T1, -1),
-                    preferred_element_type=jnp.int32,
-                )  # (HG, D) s32, exact
-                o_cur = o_cur + o_pg.astype(jnp.float32) * (
-                    sc_v_rows[pg] * (1.0 / 127.0)
-                )
-        elif has_scale and dequant_mode == "fold":
-            # V dequant folds into the per-page partial output: row hg of
-            # p_pg @ v_pg only accumulates tokens of head hg//Gp (cross-head
-            # scores are exact zeros), so the per-(page, head, channel) V
-            # scale multiplies the (HG, D) partial in f32 — BSZ/Gp fewer
-            # VPU ops than page-side dequant, and the rescale happens in
-            # f32 output domain (strictly tighter than bf16 page dequant).
-            v4 = v_buf[buf_idx].astype(cd)
-            pcd = p.astype(cd)
-            T1 = Hkv * block_size
-            D_ = v4.shape[-1]
-            sc_v_rows = jnp.broadcast_to(
-                sc_v[:, :, None, :], (ppcb, Hkv, Gp, D_)
-            ).reshape(ppcb, HG, D_)
-            o_cur = jnp.zeros((HG, D_), jnp.float32)
-            for pg in range(ppcb):
-                o_pg = jax.lax.dot(
-                    pcd[:, pg * T1 : (pg + 1) * T1],
-                    v4[pg].reshape(T1, -1),
-                    preferred_element_type=jnp.float32,
-                )  # (HG, D)
-                o_cur = o_cur + o_pg * sc_v_rows[pg]
-        else:
-            v4 = v_buf[buf_idx].astype(cd)
-            if has_scale and dequant_mode == "page":
-                v4 = (
-                    v4.astype(jnp.float32) * sc_v[:, :, None, :]
-                ).astype(cd)
-            v = v4.reshape(Tbig, -1)  # (Tbig, D)
-            o_cur = jax.lax.dot(
-                p.astype(cd), v, preferred_element_type=jnp.float32
-            )  # (HG, D)
-        o_ref[0] = o_ref[0] * alpha + o_cur  # (HG, D)
+        vslab = v_buf[buf_idx]  # (ppcb, Hkv, BSZ, D)
+        dn_pv = (((2,), (1,)), ((0,), (0,)))  # contract tokens, batch Hkv
 
-        # On this sequence's last real chunk: fold in the dense staging tail
-        # (the current decode window's unflushed tokens), then normalize.
+        def values(p):  # p (Hkv, Gc, chunk_tokens)
+            o_cur = jnp.zeros_like(o_ref[0], jnp.float32)
+            for pg in range(ppcb):
+                p_pg = p[:, :, pg * block_size : (pg + 1) * block_size]
+                if has_scale and dequant_mode == "s8":
+                    # p <= 1 with the row max EXACTLY 1 and masked entries
+                    # exactly 0: a fixed 127 scale quantizes it; the int8
+                    # V page again feeds the MXU uncast.
+                    p8 = jnp.round(p_pg * 127.0).astype(jnp.int8)
+                    o_pg = jax.lax.dot_general(
+                        p8, vslab[pg], dn_pv,
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * (1.0 / 127.0)
+                else:
+                    o_pg = jax.lax.dot_general(
+                        p_pg.astype(cd), vslab[pg].astype(cd), dn_pv,
+                        preferred_element_type=jnp.float32,
+                    )
+                if has_scale:
+                    # Per-(page, head, channel) V scale folds into the f32
+                    # output partial (strictly tighter than page dequant).
+                    o_pg = o_pg * sc_v[pg][:, None, :]
+                o_cur = o_cur + o_pg
+            return o_cur
+
+        _online_merge(m_ref, l_ref, o_ref, s, values)
+
+        # On this sequence's last real chunk: fold in the dense staging
+        # tail and the current step's K/V rows, then normalize.
         @pl.when(jnp.logical_not(same_seq))
         def _finalize():
+            qcd = q.astype(cd)
             if has_stage:
                 W = ks_ref.shape[2]
-                ks = ks_ref[0].astype(cd).reshape(Hkv * W, -1)  # (Hkv*W, D)
                 s2 = jax.lax.dot_general(
-                    q.astype(cd),
-                    ks,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    qcd, ks_ref[0].astype(cd), dn_qk,
                     preferred_element_type=jnp.float32,
-                )  # (HG, Hkv*W)
-                rh = jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv * W), 0) // Gp
-                c2 = jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv * W), 1)
-                ch2 = c2 // W
-                s2 = jnp.where(
-                    (rh == ch2) & (c2 % W < stage_len_ref[0]), s2, MASK_VALUE
-                )
-                m_prev2 = m_ref[:, :1]
-                l_prev2 = l_ref[:, :1]
-                m_cur2 = jnp.max(s2, axis=-1, keepdims=True)
-                m_next2 = jnp.maximum(m_prev2, m_cur2)
-                alpha2 = jnp.exp(m_prev2 - m_next2)
-                p2 = jnp.exp(s2 - m_next2)
-                l_ref[...] = jnp.broadcast_to(
-                    alpha2 * l_prev2 + jnp.sum(p2, axis=-1, keepdims=True),
-                    l_ref.shape,
-                )
-                vs = vs_ref[0].astype(cd).reshape(Hkv * W, -1)
-                o2 = jax.lax.dot(
-                    p2.astype(cd), vs, preferred_element_type=jnp.float32
-                )
-                o_ref[0] = o_ref[0] * alpha2 + o2
+                )  # (Hkv, Gc, W)
+                c2 = jax.lax.broadcasted_iota(jnp.int32, (Gc, W), 1)[None]
+                s2 = jnp.where(c2 < stage_len_ref[0], s2, MASK_VALUE)
+
+                def stage_values(p2):
+                    return jax.lax.dot_general(
+                        p2.astype(cd), vs_ref[0].astype(cd), dn_pv,
+                        preferred_element_type=jnp.float32,
+                    )
+
+                _online_merge(m_ref, l_ref, o_ref, s2, stage_values)
             if has_new:
-                # Current step's K/V rows, passed SEPARATELY from the
-                # staging buffer so the per-step staging update's only
-                # consumer is the scan carry (XLA then updates it in
-                # place; feeding the updated buffer to this kernel forced
-                # a full-buffer copy per layer per step — measured
-                # 8.2 us x72/step of dynamic_update_slice in the trace).
+                # Current step's rows, passed SEPARATELY from the staging
+                # buffer so the per-step staging update's only consumer is
+                # the scan carry (see module docstring).
                 kn = kn_ref[0].astype(cd)  # (Hkv, D)
                 s3 = jax.lax.dot_general(
-                    q.astype(cd), kn,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    qcd, kn[:, None, :], dn_qk,
                     preferred_element_type=jnp.float32,
-                )  # (HG, Hkv)
-                rh3 = (
-                    jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv), 0) // Gp
-                )
-                ch3 = jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv), 1)
-                s3 = jnp.where(rh3 == ch3, s3, MASK_VALUE)
-                m_prev3 = m_ref[:, :1]
-                l_prev3 = l_ref[:, :1]
-                m_next3 = jnp.maximum(
-                    m_prev3, jnp.max(s3, axis=-1, keepdims=True)
-                )
-                alpha3 = jnp.exp(m_prev3 - m_next3)
-                p3 = jnp.exp(s3 - m_next3)
-                l_ref[...] = jnp.broadcast_to(
-                    alpha3 * l_prev3 + jnp.sum(p3, axis=-1, keepdims=True),
-                    l_ref.shape,
-                )
-                o3 = jax.lax.dot(
-                    p3.astype(cd), vn_ref[0].astype(cd),
-                    preferred_element_type=jnp.float32,
-                )  # (HG, D)
-                o_ref[0] = o_ref[0] * alpha3 + o3
+                )  # (Hkv, Gc, 1)
+
+                def new_values(p3):
+                    return jax.lax.dot_general(
+                        p3.astype(cd), vn_ref[0].astype(cd)[:, None, :],
+                        dn_pv, preferred_element_type=jnp.float32,
+                    )
+
+                _online_merge(m_ref, l_ref, o_ref, s3, new_values)
             l = l_ref[:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0] = o_ref[0] * l_inv
+            Gc_ = o_ref.shape[2]
+            o_ref[0] = o_ref[0] * l_inv.reshape(Hkv, Gc_, 1)
 
 
 def paged_flash_decode(*args, dequant_mode: str | None = None, **kwargs):
@@ -529,7 +427,7 @@ def _paged_flash_decode(
     block_size: int,
     scale: float,
     ppcb: int = 8,
-    dequant_mode: str = "fold",  # int8 dequant: "fold" | "page" (see kernel)
+    dequant_mode: str = "fold",  # "fold" | "s8" (see kernel)
     interpret: bool = False,
 ) -> jnp.ndarray:  # (B, Hq, D) in q.dtype
     B, Hq, D = q.shape
@@ -539,16 +437,13 @@ def _paged_flash_decode(
     # one [data | scale] group. Multi-group global views only exist on the
     # jnp oracle path (ops/kv_cache.gather_kv_for_seqs).
     assert sc_shards in (0, 1), sc_shards
+    assert dequant_mode in ("fold", "s8"), dequant_mode
     G = Hq // Hkv
-    # MINIMAL group pad: HG = Hkv*Gp only needs to land on the fp32
-    # sublane tile (8 rows). The old per-head pad (Gp = max(G, 8)) doubled
-    # every score-matrix row at the 8B ratio (G=4 -> 8, HG 32 -> 64) —
-    # i.e. 2x the mask/exp VPU work and 2x the matmul rows, for rows that
-    # were sliced away.
-    Gp = G
-    while (Hkv * Gp) % 8:
-        Gp += 1
-    HG = Hkv * Gp
+    # Queries per kv head, padded to the fp32 sublane tile: each batched
+    # dot instance's M axis. The compact layout's VPU cost scales with
+    # Hkv*Gc*tokens — 8x less than the old head-folded wide layout at
+    # Hkv=8 (which also needed a cross-head mask).
+    Gc = max(G, 8)
     NB = block_tables.shape[1]
     ppcb = min(ppcb, NB)
     num_chunks = -(-NB // ppcb)
@@ -565,21 +460,16 @@ def _paged_flash_decode(
         steps < num_pages[:, None], padded_tables, padded_tables[:, :1]
     )
 
-    # (B, Hq, D) rows are already grouped by kv head; when Gp == G the q
-    # array passes through UNCHANGED (no relayout, no padding rows).
-    if Gp != G:
-        qg = jnp.pad(
-            q.reshape(B, Hkv, G, D), ((0, 0), (0, 0), (0, Gp - G), (0, 0))
-        ).reshape(B, HG, D)
-    else:
-        qg = q
+    qg = q.reshape(B, Hkv, G, D)
+    if Gc != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gc - G), (0, 0)))
 
     if stage_len is None:
         stage_len = jnp.int32(0)
     stage_len = jnp.reshape(stage_len, (1,)).astype(jnp.int32)
 
     in_specs = [
-        pl.BlockSpec((1, HG, D), lambda b, i, *_: (b, 0, 0)),
+        pl.BlockSpec((1, Hkv, Gc, D), lambda b, i, *_: (b, 0, 0, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
@@ -598,12 +488,9 @@ def _paged_flash_decode(
         ]
         inputs += [k_new, v_new]
 
-    Tbig = ppcb * Hkv * block_size
     scratch_shapes = [
-        pltpu.VMEM((HG, 128), jnp.float32),
-        pltpu.VMEM((HG, 128), jnp.float32),
-        pltpu.VMEM((HG, Tbig), jnp.float32),  # additive head mask
-        pltpu.VMEM((8, Tbig), jnp.float32),  # within-chunk positions
+        pltpu.VMEM((Hkv * Gc, 128), jnp.float32),
+        pltpu.VMEM((Hkv * Gc, 128), jnp.float32),
         pltpu.VMEM((2, ppcb, k_pages.shape[1], block_size, D), k_pages.dtype),
         pltpu.VMEM((2, ppcb, Hkv, block_size, D), v_pages.dtype),
         pltpu.SemaphoreType.DMA((2,)),
@@ -616,7 +503,7 @@ def _paged_flash_decode(
         num_scalar_prefetch=4,
         grid=(B, num_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, HG, D), lambda b, i, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, Gc, D), lambda b, i, *_: (b, 0, 0, 0)),
         scratch_shapes=scratch_shapes,
     )
 
@@ -627,21 +514,19 @@ def _paged_flash_decode(
             ppcb=ppcb,
             scale=scale,
             num_kv_heads=Hkv,
-            group_pad=Gp,
             has_stage=has_stage,
             has_new=has_new,
             has_scale=has_scale,
             dequant_mode=dequant_mode,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, HG, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Gc, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         # The TPU-flavored interpreter handles DMAs/semaphores on CPU.
         interpret=pltpu.InterpretParams() if interpret else False,
     )
     out = kernel(clamped_tables, ctx_lens, num_pages, stage_len, *inputs)
-    if Gp != G:
-        out = out.reshape(B, Hkv, Gp, D)[:, :, :G]
-    return out.reshape(B, Hq, D).astype(q.dtype)
+    return out[:, :, :G].reshape(B, Hq, D).astype(q.dtype)

@@ -125,12 +125,12 @@ def test_decode_kernel_bf16_io():
     )
 
 
-@pytest.mark.parametrize("dequant_mode", ["fold", "page", "s8"])
+@pytest.mark.parametrize("dequant_mode", ["fold", "s8"])
 def test_decode_kernel_int8_inpage_scales(dequant_mode):
     """int8 pages with in-page scale heads vs the oracle on DEQUANTIZED
     pages: covers the dequant-fold paths (per-page K scale folded into q,
-    per-page V scale folded into the output partial) and the page-side
-    dequant variant (single big matmul per chunk) that only run on the
+    per-page V scale folded into the output partial) and the s8 variant
+    (int8-MXU dots with quantized folded-q and p) that only run on the
     has_scale kernel branch."""
     from lightvllm_tpu.ops.kv_cache import encode_page_scales, truncate_scale
 

@@ -64,7 +64,7 @@ def main():
     ap.add_argument("--ctx", type=int, default=1100)
     ap.add_argument("--hq", type=int, default=16)
     ap.add_argument("--dequant", default="fold",
-                    choices=["fold", "page", "s8"])
+                    choices=["fold", "s8"])
     ap.add_argument("--ppcb", type=int, default=8)
     ap.add_argument(
         "--cases", default="bf16,noscale,int8,stage",

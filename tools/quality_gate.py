@@ -362,15 +362,16 @@ def outlier_probe() -> None:
         q_norm, k_norm = list(lay["q_norm"]), list(lay["k_norm"])
         for l in range(len(w_up)):
             chans = rng.choice(I, size=n_chan, replace=False)
-            up = np.asarray(w_up[l], np.float32)
-            down = np.asarray(w_down[l], np.float32)
+            # np.asarray on a jax.Array is a READ-ONLY view; copy.
+            up = np.array(w_up[l], np.float32)
+            down = np.array(w_down[l], np.float32)
             up[:, chans] /= s
             down[chans, :] *= s
             w_up[l] = jnp.asarray(up, w_up[l].dtype if w_up[l].dtype != jnp.float32 else jnp.float32)
             w_down[l] = jnp.asarray(down)
             kchan = rng.choice(D, size=2, replace=False)
-            knl = np.asarray(k_norm[l], np.float32)
-            qnl = np.asarray(q_norm[l], np.float32)
+            knl = np.array(k_norm[l], np.float32)
+            qnl = np.array(q_norm[l], np.float32)
             knl[kchan] *= s
             qnl[kchan] /= s
             k_norm[l] = jnp.asarray(knl)
