@@ -102,9 +102,18 @@ def main():
         # Cap the prefill step at 8k tokens: a single T = batch*prompt
         # bucket at b64 x 1024 is a 65k-token executable whose activations
         # alone blow HBM at 8B (measured compile OOM at 24.7 GB).
-        max_num_batched_tokens=min(max(4096, batch * prompt_len), 8192),
+        # BENCH_PREFILL_BUDGET shrinks it further: at the 1024-ctx north
+        # star the KV pool + weights leave < 0.4 GB for activations on the
+        # 15.75 GiB chip, and the 8192-token prefill bucket alone exceeds
+        # that (chunked prefill solves the same problem shape-by-shape).
+        max_num_batched_tokens=int(os.environ.get(
+            "BENCH_PREFILL_BUDGET",
+            min(max(4096, batch * prompt_len), 8192),
+        )),
         kvcache_block_size=64,
-        num_kvcache_blocks=-1,
+        # BENCH_BLOCKS pins the KV pool size exactly (block math done by
+        # hand for capacity-edge runs; -1 = derive from the HBM budget).
+        num_kvcache_blocks=int(os.environ.get("BENCH_BLOCKS", -1)),
         quantization=quant,
         kv_cache_dtype=kv,
         decode_kv_mode=kv_mode,
@@ -257,6 +266,16 @@ def main():
         "prefill_chunk_tokens": eng.config.prefill_chunk_tokens,
         "prompt_len": prompt_len,
     }
+    if os.environ.get("BENCH_STATS"):
+        # Capacity/pressure diagnostics: window-shrink + recompute-
+        # preemption thrash shows up here, not in the throughput number
+        # (each shrunk window size is a fresh executable — ~20 s over the
+        # tunnel transport, which silently turns a capacity problem into
+        # an apparent throughput collapse).
+        st = eng.stats
+        result["preemptions"] = st["preemptions"]
+        result["blocks_total"] = st["blocks_total"]
+        result["blocks_free"] = st["blocks_free"]
     print(json.dumps(result))
 
 
