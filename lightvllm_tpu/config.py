@@ -41,11 +41,14 @@ class Config:
     # Chunked prefill (serving QoS): cap the prompt tokens processed per
     # prefill step so one long prompt cannot monopolize a step and stall
     # every running decode (the reference prefills whole prompts only,
-    # SURVEY.md §2.7). 0 disables; otherwise a multiple of
-    # kvcache_block_size (chunks stay page-aligned for whole-page KV
+    # SURVEY.md §2.7). -1 (default) resolves to ~2048 tokens rounded to a
+    # block multiple — the size measured on-chip at the 8B 1k-ctx north
+    # star (artifacts/perf_r5_ctx1k.json: bounds the decode stall with no
+    # measurable decode-throughput cost). 0 disables; otherwise a multiple
+    # of kvcache_block_size (chunks stay page-aligned for whole-page KV
     # writes). A partially-prefilled prompt stays at the head of the
     # waiting queue and continues next prefill step.
-    prefill_chunk_tokens: int = 0
+    prefill_chunk_tokens: int = -1
     # --- parallelism ---
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
@@ -122,6 +125,10 @@ class Config:
         assert self.kernel_backend in ("native", "pallas")
         assert self.decode_kv_mode in ("staged", "scatter")
         assert self.tp_mode in ("auto", "gspmd", "shard_map")
+        if self.prefill_chunk_tokens < 0:  # -1 = auto (~2048, block-aligned)
+            self.prefill_chunk_tokens = (
+                max(1, 2048 // self.kvcache_block_size) * self.kvcache_block_size
+            )
         assert self.prefill_chunk_tokens == 0 or (
             self.prefill_chunk_tokens >= self.kvcache_block_size
             and self.prefill_chunk_tokens % self.kvcache_block_size == 0
